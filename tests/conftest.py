@@ -1,0 +1,52 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (the JAX-native "fake backend"
+analogue of the reference's cpu/cuda device parametrization — see SURVEY.md
+§4). Set GRADSLAM_TPU_TEST_REAL=1 to run against the real attached backend
+instead.
+"""
+
+import os
+
+if not os.environ.get("GRADSLAM_TPU_TEST_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # The environment's sitecustomize force-registers a remote TPU backend
+    # at interpreter start; the env var alone is not enough to undo that.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import numpy as np
+import pytest
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def msrd_data():
+    """Golden RGB-D fixture: B=2, L=3, 120x160 clip with precomputed maps.
+
+    Mirrors the reference's load_test_data (tests/common.py:20-39): raw
+    colors (0-255 floats), channels-last.
+    """
+    d = DATA_DIR / "msrd_b2s3"
+    out = {}
+    for name in (
+        "colors",
+        "depths",
+        "intrinsics",
+        "poses",
+        "vertex_map",
+        "normal_map",
+        "global_vertex_map",
+        "global_normal_map",
+    ):
+        out[name] = np.load(d / f"{name}.npy").astype(np.float32)
+    return out
