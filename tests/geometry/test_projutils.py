@@ -66,12 +66,16 @@ class TestProjectPoints:
         assert bool(jnp.all(jnp.isfinite(uv)))
 
     def test_batched_proj_mats(self):
-        K = jnp.broadcast_to(self._intrinsics(), (2, 1, 4, 4))
+        # reference case 3 (projutils.py docstring): one proj_mat per batch
+        # element broadcasts over the points dim
+        K = jnp.broadcast_to(self._intrinsics(), (2, 4, 4))
         pts = jnp.asarray(
-            np.random.RandomState(1).rand(2, 1, 6, 3).astype(np.float32) + 1.0
+            np.random.RandomState(1).rand(2, 6, 3).astype(np.float32) + 1.0
         )
-        uv = project_points(pts, K[..., None, :, :].squeeze(2))
-        assert uv.shape == (2, 1, 6, 2)
+        uv = project_points(pts, K)
+        assert uv.shape == (2, 6, 2)
+        single = project_points(pts[0], K[0])
+        np.testing.assert_allclose(np.asarray(uv[0]), np.asarray(single), rtol=1e-6)
 
 
 class TestUnprojectProjectRoundtrip:
