@@ -1,0 +1,33 @@
+from .rgbdimages import (
+    RGBDImages,
+    compute_global_normal_map,
+    compute_global_vertex_map,
+    compute_normal_map,
+    compute_vertex_map,
+    valid_depth_mask,
+)
+from .pointclouds import Pointclouds
+from .maparena import (
+    MapState,
+    append_to_map,
+    init_map,
+    map_mask,
+    map_to_pointclouds,
+)
+from .utils import pointclouds_from_rgbdimages
+
+__all__ = [
+    "RGBDImages",
+    "Pointclouds",
+    "MapState",
+    "init_map",
+    "map_mask",
+    "append_to_map",
+    "map_to_pointclouds",
+    "pointclouds_from_rgbdimages",
+    "compute_vertex_map",
+    "compute_global_vertex_map",
+    "compute_normal_map",
+    "compute_global_normal_map",
+    "valid_depth_mask",
+]
