@@ -1,0 +1,3 @@
+from .knn import knn, knn_reference
+
+__all__ = ["knn", "knn_reference"]

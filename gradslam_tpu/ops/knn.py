@@ -1,0 +1,191 @@
+"""Brute-force 1-nearest-neighbor on TPU (Pallas kernel + jnp fallback).
+
+This is the TPU-native replacement for the reference's single native
+component — the ``chamferdist`` CUDA KNN used as the data-association core
+of every ICP iteration (reference: gradslam/odometry/icputils.py:3,200).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  - Distances ``|s - t|^2 = |s|^2 - 2 s.t + |t|^2`` — the cross term is an
+    MXU matmul; ``|t|^2`` is precomputed and carries the validity mask as
+    ``+inf`` so invalid targets never win the argmin.
+  - Grid over batch; each program loops over (src, tgt) tiles with a
+    running (min, argmin) carry, so VMEM holds only a (TGT_TILE, SRC_TILE)
+    distance block at a time.
+  - Lane-major layout: ``src`` enters transposed (3, S) and reductions run
+    over the sublane (target) axis, keeping outputs on lanes.
+  - Outputs (dists, idx) are non-differentiable (wrapped in stop_gradient):
+    gradients in the ICP solvers flow through re-gathered coordinates, not
+    through the argmin — matching the reference's usage where KNN indices
+    only select rows.
+
+Tie-breaking matches torch: the first (lowest-index) minimum wins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn", "knn_reference"]
+
+_SRC_TILE = 512
+_TGT_TILE = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def knn_reference(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_valid: jnp.ndarray | None = None,
+):
+    """Pure-jnp 1-NN: returns (sq_dists (B, S), idx (B, S) int32).
+
+    O(S*T) memory — fine for tests and small problems; the Pallas kernel
+    below tiles the same computation for real sizes.
+    """
+    # (B, S, T) squared distances
+    d = (
+        jnp.sum(src * src, axis=-1)[..., :, None]
+        - 2.0 * jnp.einsum("bsc,btc->bst", src, tgt)
+        + jnp.sum(tgt * tgt, axis=-1)[..., None, :]
+    )
+    if tgt_valid is not None:
+        d = jnp.where(tgt_valid[:, None, :], d, jnp.inf)
+    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    dists = jnp.take_along_axis(d, idx[..., None], axis=-1)[..., 0]
+    return jax.lax.stop_gradient(dists), jax.lax.stop_gradient(idx)
+
+
+def _knn_kernel(srcT_ref, tgt_ref, tnorm_ref, dist_ref, idx_ref, *, s_tiles, t_tiles):
+    """One program: all (src, tgt) tiles for one batch element.
+
+    Ref shapes (leading block-batch dim of 1): srcT (1, 8, S),
+    tgt (1, T, 8), tnorm (1, T, 1), outputs (1, 1, S). The source and
+    target tile loops run inside the kernel so VMEM holds one
+    (TGT_TILE, SRC_TILE) distance block at a time.
+    """
+    S = srcT_ref.shape[2]
+    T = tgt_ref.shape[1]
+    ST = S // s_tiles
+    TT = T // t_tiles
+
+    def s_body(si, _):
+        srcT = srcT_ref[0, :, pl.ds(si * ST, ST)]  # (8, ST); rows 3..7 zero
+
+        def t_body(t, carry):
+            best_d, best_i = carry
+            tgt_tile = tgt_ref[0, pl.ds(t * TT, TT), :]  # (TT, 8)
+            # cross term on the MXU: (TT, 8) @ (8, ST)
+            G = jnp.dot(tgt_tile, srcT, preferred_element_type=jnp.float32)
+            d = tnorm_ref[0, pl.ds(t * TT, TT), :] - 2.0 * G  # (TT, ST)
+            tile_min = jnp.min(d, axis=0)  # (ST,)
+            tile_arg = jnp.argmin(d, axis=0).astype(jnp.int32) + t * TT
+            better = tile_min < best_d  # strict: first tile keeps ties
+            return (
+                jnp.where(better, tile_min, best_d),
+                jnp.where(better, tile_arg, best_i),
+            )
+
+        init = (
+            jnp.full((ST,), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((ST,), dtype=jnp.int32),
+        )
+        best_d, best_i = jax.lax.fori_loop(0, t_tiles, t_body, init)
+        snorm = jnp.sum(srcT * srcT, axis=0)  # (ST,)
+        dist_ref[0, 0, pl.ds(si * ST, ST)] = best_d + snorm
+        idx_ref[0, 0, pl.ds(si * ST, ST)] = best_i
+        return 0
+
+    jax.lax.fori_loop(0, s_tiles, s_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("src_tile", "tgt_tile"))
+def _knn_pallas(src, tgt, tnorm, src_tile=_SRC_TILE, tgt_tile=_TGT_TILE):
+    B, S, _ = src.shape
+    T = tgt.shape[1]
+
+    # lane-major source: (B, 8, S); coordinate dim padded 3 -> 8 (sublane)
+    srcT = jnp.swapaxes(src, 1, 2)  # (B, 3, S)
+    srcT = jnp.pad(srcT, ((0, 0), (0, 5), (0, 0)))
+    tgt8 = jnp.pad(tgt, ((0, 0), (0, 0), (0, 5)))  # (B, T, 8)
+    tnorm2 = tnorm[..., None]  # (B, T, 1)
+
+    kernel = functools.partial(
+        _knn_kernel, s_tiles=S // src_tile, t_tiles=T // tgt_tile
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, S), jnp.int32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 8, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )(srcT, tgt8, tnorm2)
+    return dist[:, 0, :], idx[:, 0, :]
+
+
+def knn(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_valid: jnp.ndarray | None = None,
+    *,
+    use_pallas: bool | None = None,
+):
+    """Batched exact 1-NN from ``src`` to ``tgt``.
+
+    Args:
+        src: (B, S, 3) query points.
+        tgt: (B, T, 3) target points.
+        tgt_valid: optional (B, T) bool; invalid targets never match.
+        use_pallas: force kernel choice; default auto (Pallas on TPU).
+
+    Returns:
+        (sq_dists, idx): (B, S) float32 squared distances and (B, S) int32
+        indices of the closest target. Both are detached from the autodiff
+        graph (gradients flow through gathers of the returned indices).
+    """
+    if src.ndim != 3 or src.shape[-1] != 3:
+        raise ValueError(f"src must be (B, S, 3), got {src.shape}")
+    if tgt.ndim != 3 or tgt.shape[-1] != 3:
+        raise ValueError(f"tgt must be (B, T, 3), got {tgt.shape}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return knn_reference(src, tgt, tgt_valid)
+
+    B, S, _ = src.shape
+    T = tgt.shape[1]
+    S_pad = _round_up(max(S, _SRC_TILE), _SRC_TILE)
+    T_pad = _round_up(max(T, _TGT_TILE), _TGT_TILE)
+
+    src_p = jnp.pad(src, ((0, 0), (0, S_pad - S), (0, 0)))
+    tgt_p = jnp.pad(tgt, ((0, 0), (0, T_pad - T), (0, 0)))
+    tnorm = jnp.sum(tgt_p * tgt_p, axis=-1)  # (B, T_pad)
+    valid = jnp.ones((B, T_pad), dtype=bool)
+    valid = valid.at[:, T:].set(False)
+    if tgt_valid is not None:
+        valid = valid.at[:, :T].set(tgt_valid)
+    tnorm = jnp.where(valid, tnorm, jnp.inf)
+
+    src_p = jax.lax.stop_gradient(src_p.astype(jnp.float32))
+    tgt_p = jax.lax.stop_gradient(tgt_p.astype(jnp.float32))
+    tnorm = jax.lax.stop_gradient(tnorm.astype(jnp.float32))
+
+    dist, idx = _knn_pallas(src_p, tgt_p, tnorm)
+    return dist[:, :S], idx[:, :S]
