@@ -1,0 +1,538 @@
+"""PointFusion association + fusion (TPU-native core).
+
+Parity surface with the reference's fusionutils
+(reference: gradslam/slam/fusionutils.py), re-designed for static shapes:
+
+  - The reference emits a ragged ``pc2im_bnhw`` lookup table of active map
+    points (fusionutils.py:198-287); here association state is dense —
+    per-map-slot masks + pixel indices over the fixed-capacity arena.
+  - The reference's per-pixel winner selection via ``torch.unique`` row
+    sorting (fusionutils.py:489-536) becomes three segment reductions over
+    encoded pixel ids with identical lexicographic tie-breaking
+    (max ccount, then min ray distance, then min point index).
+  - Ragged appends (fusionutils.py:702-721) become masked scatter-appends
+    into the arena (structures/maparena.py).
+
+The dense functions are the jit/scan path; thin wrappers at the bottom
+reproduce the reference's table-based host API for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    inverse_transformation,
+    transform_normals,
+    transform_pointcloud,
+)
+from ..structures.maparena import MapState, append_to_map, map_mask
+
+__all__ = [
+    "get_alpha",
+    "are_points_close",
+    "are_normals_similar",
+    "DenseCorrespondence",
+    "find_correspondences_dense",
+    "fuse_map_dense",
+    "aggregate_map_dense",
+    "find_active_map_points",
+    "find_similar_map_points",
+    "find_best_unique_correspondences",
+    "find_correspondences",
+    "fuse_with_map",
+    "update_map_fusion",
+    "update_map_aggregate",
+]
+
+
+def get_alpha(
+    points: jnp.ndarray,
+    sigma: Union[float, jnp.ndarray],
+    dim: int = -1,
+    keepdim: bool = False,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Sample confidence ``alpha = exp(-|p|^2 / (2 sigma^2))``, clamped to
+    ``[eps, 1.01]`` — computed on camera-frame positions.
+
+    Reference parity: gradslam/slam/fusionutils.py:16-73 (Keller et al.
+    2013, section 4.1).
+    """
+    alpha = jnp.exp(-jnp.sum(points**2, axis=dim, keepdims=keepdim) / (2 * sigma**2))
+    return jnp.clip(alpha, eps, 1.01)
+
+
+def are_points_close(t1, t2, dist_th, dim: int = -1):
+    """Per-element Euclidean distance threshold (reference :76-130)."""
+    return jnp.linalg.norm(t1 - t2, axis=dim) < dist_th
+
+
+def are_normals_similar(t1, t2, dot_th, dim: int = -1):
+    """Per-element dot-product threshold (reference :133-195)."""
+    return jnp.sum(t1 * t2, axis=dim) > dot_th
+
+
+class DenseCorrespondence(NamedTuple):
+    """Dense association state over the map arena.
+
+    Attributes:
+        winner: (B, CAP) bool — map slot is the unique best correspondence
+            for its pixel.
+        h, w: (B, CAP) int32 — projected pixel of each map slot (valid only
+            where ``active``).
+        active: (B, CAP) bool — slot projects inside the live frame.
+        pix_corr: (B, H*W) bool — pixel has a corresponding map point.
+    """
+
+    winner: jnp.ndarray
+    h: jnp.ndarray
+    w: jnp.ndarray
+    active: jnp.ndarray
+    pix_corr: jnp.ndarray
+
+
+def project_map_to_frame(
+    map_state: MapState, pose: jnp.ndarray, intrinsics: jnp.ndarray, H: int, W: int
+):
+    """Projects live map points into the camera at ``pose``.
+
+    Equivalent of the reference's ``find_active_map_points`` projection
+    stage (fusionutils.py:249-282): transform by ``pose^-1``, keep points
+    with z > 0, pinhole-project, bounds-test with the reference's exact
+    guards (``-1e-3 < u < W - 0.999``), round-and-clamp to pixel indices.
+
+    Returns:
+        (h, w, active): (B, CAP) int32 pixel rows/cols and bool active mask.
+    """
+    tinv = inverse_transformation(pose)  # (B, 4, 4)
+    pts_cam = transform_pointcloud(map_state.points, tinv)  # (B, CAP, 3)
+    z = pts_cam[..., 2]
+    K = intrinsics[:, 0] if intrinsics.ndim == 4 else intrinsics
+    fx = K[..., 0, 0][:, None]
+    fy = K[..., 1, 1][:, None]
+    cx = K[..., 0, 2][:, None]
+    cy = K[..., 1, 2][:, None]
+    z_safe = jnp.where(z != 0, z, jnp.ones_like(z))
+    u = (pts_cam[..., 0] * fx + z * cx) / z_safe
+    v = (pts_cam[..., 1] * fy + z * cy) / z_safe
+    active = (
+        (u > -1e-3)
+        & (u < W - 0.999)
+        & (v > -1e-3)
+        & (v < H - 0.999)
+        & (z > 0)
+        & map_mask(map_state)
+    )
+    h = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
+    w = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
+    return h, w, active
+
+
+def _gather_pixels(img: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray):
+    """Gathers (B, H, W, C) images at per-batch (B, N) pixel indices."""
+    B = img.shape[0]
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], h.shape)
+    return img[b_idx, h, w]
+
+
+def find_correspondences_dense(
+    map_state: MapState,
+    frame_vertex_global: jnp.ndarray,
+    frame_normal_global: jnp.ndarray,
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    dist_th: float,
+    dot_th: float,
+) -> DenseCorrespondence:
+    """Full projective-association pipeline, dense over the map arena.
+
+    Stages (reference fusionutils.py:549-577):
+      1. active: map points projecting into the live frame.
+      2. similar: distance + normal-dot gating against the frame maps at
+         the projected pixel (zero normals auto-reject invalid depth).
+      3. unique winner per pixel: max ccount -> min ray distance -> min
+         point index, via segment reductions (exact tie-break parity with
+         the reference's ``torch.unique`` row sort, fusionutils.py:489-536).
+
+    Args:
+        frame_vertex_global / frame_normal_global: (B, H, W, 3).
+        pose: (B, 4, 4) live-frame pose; intrinsics: (B, 1, 4, 4).
+
+    Returns:
+        DenseCorrespondence.
+    """
+    B, H, W, _ = frame_vertex_global.shape
+    CAP = map_state.points.shape[1]
+    HW = H * W
+
+    h, w, active = project_map_to_frame(map_state, pose, intrinsics, H, W)
+
+    fp = _gather_pixels(frame_vertex_global, h, w)  # (B, CAP, 3)
+    fn = _gather_pixels(frame_normal_global, h, w)
+    is_close = are_points_close(fp, map_state.points, dist_th)
+    is_similar = are_normals_similar(fn, map_state.normals, dot_th)
+    gated = active & is_close & is_similar  # (B, CAP)
+
+    pix = h * W + w  # (B, CAP)
+    pix_seg = jnp.where(gated, pix, HW)  # dump rejected slots in segment HW
+    ccount = map_state.ccounts[..., 0]  # (B, CAP)
+    ray_dist = jnp.sum((map_state.points - fp) ** 2, axis=-1)
+    slot_idx = jnp.broadcast_to(
+        jnp.arange(CAP, dtype=jnp.int32)[None, :], (B, CAP)
+    )
+
+    def per_batch(pix_b, cc_b, rd_b, gated_b, idx_b):
+        seg_cc = jax.ops.segment_max(
+            jnp.where(gated_b, cc_b, -jnp.inf), pix_b, num_segments=HW + 1
+        )
+        cand1 = gated_b & (cc_b == seg_cc[pix_b])
+        seg_rd = jax.ops.segment_min(
+            jnp.where(cand1, rd_b, jnp.inf), pix_b, num_segments=HW + 1
+        )
+        cand2 = cand1 & (rd_b == seg_rd[pix_b])
+        seg_ix = jax.ops.segment_min(
+            jnp.where(cand2, idx_b, CAP), pix_b, num_segments=HW + 1
+        )
+        winner_b = cand2 & (idx_b == seg_ix[pix_b])
+        pix_corr_b = seg_ix[:HW] < CAP
+        return winner_b, pix_corr_b
+
+    winner, pix_corr = jax.vmap(per_batch)(
+        pix_seg, ccount, ray_dist, gated, slot_idx
+    )
+    return DenseCorrespondence(
+        winner=winner, h=h, w=w, active=active, pix_corr=pix_corr
+    )
+
+
+def fuse_map_dense(
+    map_state: MapState,
+    corr: DenseCorrespondence,
+    frame_vertex_global: jnp.ndarray,
+    frame_normal_global: jnp.ndarray,
+    frame_vertex_local: jnp.ndarray,
+    rgb_image: jnp.ndarray,
+    valid_depth: jnp.ndarray,
+    sigma: float,
+) -> MapState:
+    """PointFusion map update (reference fusionutils.py:580-722).
+
+    Corresponded map slots get the confidence-weighted running average
+    ``p' = (cc p + alpha p_frame) / (cc + alpha)`` (same for normals and
+    colors); non-corresponded valid-depth pixels are appended to the arena
+    with feature ``alpha``.
+
+    Args:
+        frame_*: (B, H, W, 3) maps; frame_vertex_local is camera-frame (for
+            alpha); valid_depth: (B, H, W) bool.
+    """
+    B, H, W, _ = frame_vertex_global.shape
+    alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)  # (B,H,W,1)
+
+    # --- merge corresponded slots (pure gathers on the map side) -------
+    fp = _gather_pixels(frame_vertex_global, corr.h, corr.w)
+    fn = _gather_pixels(frame_normal_global, corr.h, corr.w)
+    fc = _gather_pixels(rgb_image, corr.h, corr.w)
+    fa = _gather_pixels(alpha_img, corr.h, corr.w)  # (B, CAP, 1)
+
+    win = corr.winner[..., None]  # (B, CAP, 1)
+    alpha = jnp.where(win, fa, jnp.zeros_like(fa))
+    cc = map_state.ccounts
+    cc_new = cc + alpha
+    inv = 1.0 / jnp.where(cc_new == 0, jnp.ones_like(cc_new), cc_new)
+
+    def merge(old, frame_attr):
+        upd = (cc * old + alpha * frame_attr) * inv
+        return jnp.where(win, upd, old)
+
+    merged = MapState(
+        points=merge(map_state.points, fp),
+        normals=merge(map_state.normals, fn),
+        colors=merge(map_state.colors, fc),
+        ccounts=jnp.where(win, cc_new, cc),
+        num_points=map_state.num_points,
+    )
+
+    # --- append non-corresponded valid pixels --------------------------
+    new_mask = valid_depth.reshape(B, H * W) & ~corr.pix_corr
+    return append_to_map(
+        merged,
+        frame_vertex_global.reshape(B, H * W, 3),
+        frame_normal_global.reshape(B, H * W, 3),
+        rgb_image.reshape(B, H * W, 3),
+        alpha_img.reshape(B, H * W, 1),
+        new_mask,
+    )
+
+
+def aggregate_map_dense(
+    map_state: MapState,
+    frame_vertex_global: jnp.ndarray,
+    frame_normal_global: jnp.ndarray,
+    frame_vertex_local: jnp.ndarray,
+    rgb_image: jnp.ndarray,
+    valid_depth: jnp.ndarray,
+    sigma: float = 0.6,
+) -> MapState:
+    """Append-only map update (reference ``update_map_aggregate``,
+    fusionutils.py:725-758): every valid-depth pixel is appended."""
+    B, H, W, _ = frame_vertex_global.shape
+    alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
+    return append_to_map(
+        map_state,
+        frame_vertex_global.reshape(B, H * W, 3),
+        frame_normal_global.reshape(B, H * W, 3),
+        rgb_image.reshape(B, H * W, 3),
+        alpha_img.reshape(B, H * W, 1),
+        valid_depth.reshape(B, H * W),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-facing parity wrappers (ragged pc2im_bnhw tables, Pointclouds API)
+# ---------------------------------------------------------------------------
+
+
+def _pointclouds_to_mapstate(pointclouds) -> MapState:
+    import jax.numpy as jnp
+
+    feats = pointclouds.features_padded
+    if feats is None:
+        feats = jnp.zeros(pointclouds.points_padded.shape[:2] + (1,))
+    normals = pointclouds.normals_padded
+    if normals is None:
+        normals = jnp.zeros_like(pointclouds.points_padded)
+    colors = pointclouds.colors_padded
+    if colors is None:
+        colors = jnp.zeros_like(pointclouds.points_padded)
+    return MapState(
+        points=pointclouds.points_padded,
+        normals=normals,
+        colors=colors,
+        ccounts=feats,
+        num_points=pointclouds.num_points_per_pointcloud,
+    )
+
+
+def _table_from_mask(mask, h, w):
+    """(B, CAP) masks -> (num_rows, 4) [b, n, h, w] table (host boundary)."""
+    import numpy as np
+
+    mask, h, w = np.asarray(mask), np.asarray(h), np.asarray(w)
+    b_idx, n_idx = np.nonzero(mask)
+    return jnp.asarray(
+        np.stack(
+            [b_idx, n_idx, h[b_idx, n_idx], w[b_idx, n_idx]], axis=-1
+        ).astype(np.int64)
+    )
+
+
+def find_active_map_points(pointclouds, rgbdimages):
+    """Active map points lookup table (reference fusionutils.py:198-287).
+
+    Returns:
+        (num_active, 4) int table of [batch, point, h, w] rows.
+    """
+    import warnings
+
+    if not pointclouds.has_points:
+        return jnp.zeros((0, 4), dtype=jnp.int64)
+    rgbd = rgbdimages.to_channels_last()
+    B, L, H, W = rgbd.shape
+    if L != 1:
+        raise ValueError(f"expected sequence length 1, got {L}")
+    ms = _pointclouds_to_mapstate(pointclouds)
+    h, w, active = project_map_to_frame(
+        ms, rgbd.poses[:, 0], rgbd.intrinsics, H, W
+    )
+    table = _table_from_mask(active, h, w)
+    if table.shape[0] == 0:
+        warnings.warn("No active map points were found")
+    return table
+
+
+def find_similar_map_points(pointclouds, rgbdimages, pc2im_bnhw, dist_th, dot_th):
+    """Distance/normal-gated subset of the active table (reference :290-411).
+
+    Returns:
+        (pc2im_bnhw_similar, is_similar_mask).
+    """
+    import warnings
+
+    if pc2im_bnhw.shape[0] == 0:
+        return (
+            jnp.zeros((0, 4), dtype=jnp.int64),
+            jnp.zeros((0,), dtype=bool),
+        )
+    if not pointclouds.has_normals:
+        raise ValueError("pointclouds must have normals")
+    rgbd = rgbdimages.to_channels_last()
+    vmaps = rgbd.global_vertex_map[:, 0]
+    nmaps = rgbd.global_normal_map[:, 0]
+    b, n, h, w = (pc2im_bnhw[:, i] for i in range(4))
+    fp = vmaps[b, h, w]
+    fn = nmaps[b, h, w]
+    mp = pointclouds.points_padded[b, n]
+    mn = pointclouds.normals_padded[b, n]
+    keep = are_points_close(fp, mp, dist_th) & are_normals_similar(fn, mn, dot_th)
+    out = pc2im_bnhw[jnp.asarray(keep)]
+    if out.shape[0] == 0:
+        warnings.warn(
+            "No similar map points were found (despite total {0} active "
+            "points across the batch)".format(pc2im_bnhw.shape[0]),
+            RuntimeWarning,
+        )
+    return out, keep
+
+
+def find_best_unique_correspondences(pointclouds, rgbdimages, pc2im_bnhw):
+    """Per-pixel winner among duplicate correspondences (reference :414-546).
+
+    Tie-breaking: highest ccount, then smallest squared ray distance, then
+    smallest point index.
+    """
+    import numpy as np
+
+    if pc2im_bnhw.shape[0] == 0:
+        return jnp.zeros((0, 4), dtype=jnp.int64)
+    if not pointclouds.has_features:
+        raise ValueError("pointclouds must have features (ccounts)")
+    rgbd = rgbdimages.to_channels_last()
+    vmaps = np.asarray(rgbd.global_vertex_map[:, 0])
+    tab = np.asarray(pc2im_bnhw)
+    b, n, h, w = tab.T
+    cc = np.asarray(pointclouds.features_padded)[b, n, 0]
+    mp = np.asarray(pointclouds.points_padded)[b, n]
+    fp = vmaps[b, h, w]
+    ray = ((mp - fp) ** 2).sum(-1)
+    # lexicographic: (b, h, w) group key; (-cc, ray, n) winner key
+    order = np.lexsort((n, ray, -cc, w, h, b))
+    tab_sorted = tab[order]
+    key = tab_sorted[:, [0, 2, 3]]
+    first = np.ones(len(tab_sorted), dtype=bool)
+    first[1:] = (key[1:] != key[:-1]).any(-1)
+    return jnp.asarray(tab_sorted[first])
+
+
+def find_correspondences(pointclouds, rgbdimages, dist_th, dot_th):
+    """Association pipeline (reference fusionutils.py:549-577)."""
+    pc2im = find_active_map_points(pointclouds, rgbdimages)
+    pc2im, _ = find_similar_map_points(
+        pointclouds, rgbdimages, pc2im, dist_th, dot_th
+    )
+    return find_best_unique_correspondences(pointclouds, rgbdimages, pc2im)
+
+
+def _rgbd_frame_arrays(rgbdimages):
+    rgbd = rgbdimages.to_channels_last()
+    return (
+        rgbd.global_vertex_map[:, 0],
+        rgbd.global_normal_map[:, 0],
+        rgbd.vertex_map[:, 0],
+        rgbd.rgb_image[:, 0],
+        rgbd.valid_depth_mask[:, 0, ..., 0],
+    )
+
+
+def update_map_fusion(pointclouds, rgbdimages, dist_th, dot_th, sigma):
+    """PointFusion update on the Pointclouds API (reference :761-789).
+
+    The arena capacity grows by one frame's worth of pixels.
+    """
+    import numpy as np
+
+    rgbd = rgbdimages.to_channels_last()
+    B, L, H, W = rgbd.shape
+    ms = _pointclouds_to_mapstate(pointclouds)
+    if len(pointclouds) == 0:
+        ms = MapState(
+            points=jnp.zeros((B, 0, 3)),
+            normals=jnp.zeros((B, 0, 3)),
+            colors=jnp.zeros((B, 0, 3)),
+            ccounts=jnp.zeros((B, 0, 1)),
+            num_points=jnp.zeros((B,), jnp.int32),
+        )
+    # grow arena by one frame
+    grow = H * W
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, grow), (0, 0)))
+    ms = MapState(
+        points=pad(ms.points),
+        normals=pad(ms.normals),
+        colors=pad(ms.colors),
+        ccounts=pad(ms.ccounts),
+        num_points=ms.num_points,
+    )
+    gv, gn, lv, rgb, vd = _rgbd_frame_arrays(rgbd)
+    corr = find_correspondences_dense(
+        ms, gv, gn, rgbd.poses[:, 0], rgbd.intrinsics, dist_th, dot_th
+    )
+    ms = fuse_map_dense(ms, corr, gv, gn, lv, rgb, vd, sigma)
+    from ..structures.maparena import map_to_pointclouds
+
+    return map_to_pointclouds(ms)
+
+
+def update_map_aggregate(pointclouds, rgbdimages, inplace: bool = False):
+    """Append-only update on the Pointclouds API (reference :725-758)."""
+    from ..structures.utils import pointclouds_from_rgbdimages
+
+    new_pc = pointclouds_from_rgbdimages(rgbdimages, global_coordinates=True)
+    return pointclouds.append_points(new_pc)
+
+
+def fuse_with_map(pointclouds, rgbdimages, pc2im_bnhw, sigma, inplace=False):
+    """Table-based fusion for API parity (reference :580-722).
+
+    Applies the confidence-weighted merge at the rows of ``pc2im_bnhw``
+    and appends non-corresponded valid-depth pixels.
+    """
+    import numpy as np
+
+    rgbd = rgbdimages.to_channels_last()
+    B, L, H, W = rgbd.shape
+    gv, gn, lv, rgb, vd = _rgbd_frame_arrays(rgbd)
+    alpha_img = get_alpha(lv, sigma, keepdim=True)
+
+    pts = pointclouds.points_padded
+    if pointclouds.has_points and pc2im_bnhw.shape[0] != 0:
+        b, n, h, w = (np.asarray(pc2im_bnhw)[:, i] for i in range(4))
+        fp, fn_, fc, fa = gv[b, h, w], gn[b, h, w], rgb[b, h, w], alpha_img[b, h, w]
+        cc = pointclouds.features_padded
+        cc_rows = cc[b, n]
+        cc_new_rows = cc_rows + fa
+        merge = lambda old_all, frame_rows: old_all.at[b, n].set(
+            (cc_rows * old_all[b, n] + fa * frame_rows) / cc_new_rows
+        )
+        pointclouds = pointclouds.clone()
+        pointclouds.points_padded = merge(pointclouds.points_padded, fp)
+        pointclouds.normals_padded = merge(pointclouds.normals_padded, fn_)
+        pointclouds.colors_padded = merge(pointclouds.colors_padded, fc)
+        pointclouds.features_padded = pointclouds.features_padded.at[b, n].set(
+            cc_new_rows
+        )
+
+    # append non-corresponded valid pixels (ragged, host boundary)
+    new_mask = np.asarray(vd).astype(bool)
+    if pointclouds.has_points and pc2im_bnhw.shape[0] != 0:
+        corr_px = np.zeros((B, H, W), dtype=bool)
+        corr_px[b, h, w] = True
+        new_mask = new_mask & ~corr_px
+    from ..structures import Pointclouds
+
+    gv_n, gn_n, rgb_n, fa_n = (
+        np.asarray(gv),
+        np.asarray(gn),
+        np.asarray(rgb),
+        np.asarray(alpha_img),
+    )
+    new_pc = Pointclouds(
+        points=[gv_n[i][new_mask[i]] for i in range(B)],
+        normals=[gn_n[i][new_mask[i]] for i in range(B)],
+        colors=[rgb_n[i][new_mask[i]] for i in range(B)],
+        features=[fa_n[i][new_mask[i]] for i in range(B)],
+    )
+    return pointclouds.append_points(new_pc)

@@ -1,0 +1,356 @@
+"""ICP-SLAM: the end-to-end dense SLAM driver (TPU-native).
+
+Parity surface with the reference's ICPSLAM (gradslam/slam/icpslam.py:18):
+a sequential localize-then-map loop over frames. TPU-first design:
+
+  - The frame loop is a single ``lax.scan`` with carry (map arena, pose) —
+    one compiled program per sequence, reverse-mode differentiable through
+    the whole SLAM run (the reference loops in Python, icpslam.py:125-137).
+  - Localization (reference ``_localize``, icpslam.py:180-247) projects the
+    live map into the previous frame, downsamples by pixel stride, compacts
+    candidates into a fixed-size target buffer, and runs the batched
+    gradICP/ICP solver (odometry/icputils.py) with the Pallas KNN.
+  - Mapping (reference ``_map``) is the dense aggregate/fusion update
+    (slam/fusionutils.py) over the fixed-capacity arena.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import compose_transformations
+from ..odometry.icputils import point_to_plane_ICP, point_to_plane_gradICP
+from ..ops.masking import compact_masked
+from ..structures import RGBDImages, map_to_pointclouds
+from ..structures.maparena import MapState, init_map
+from ..structures.rgbdimages import (
+    compute_global_normal_map,
+    compute_global_vertex_map,
+    compute_normal_map,
+    compute_vertex_map,
+)
+from .fusionutils import (
+    aggregate_map_dense,
+    find_correspondences_dense,
+    fuse_map_dense,
+    project_map_to_frame,
+)
+
+__all__ = ["ICPSLAM", "SLAMOptions", "slam_step", "slam_sequence"]
+
+
+class SLAMOptions(NamedTuple):
+    """Static SLAM configuration (hashable; part of the jit cache key)."""
+
+    odom: str = "gradicp"  # 'gt' | 'icp' | 'gradicp'
+    dsratio: int = 4
+    numiters: int = 20
+    damp: float = 1e-8
+    dist_thresh: Optional[float] = None  # odometry association gate (sq dist)
+    fusion: bool = False  # False -> aggregate mapping (ICPSLAM)
+    dist_th: float = 0.05  # fusion distance threshold
+    dot_th: float = 0.93969262  # fusion normal-dot threshold (cos 20 deg)
+    sigma: float = 0.6
+    map_capacity: Optional[int] = None  # default: L*H*W
+    tgt_capacity: Optional[int] = None  # odometry candidate buffer
+    lambda_max: float = 2.0
+    B: float = 1.0
+    B2: float = 1.0
+    nu: float = 200.0
+
+
+def _frame_maps(rgb, depth, intrinsics, pose):
+    """Derived maps for a (B, H, W, ·) frame at the given (B, 4, 4) pose."""
+    depth5 = depth[:, None]
+    vm = compute_vertex_map(depth5, intrinsics)
+    valid5 = depth5 > 0
+    nm = compute_normal_map(vm, valid5)
+    gv = compute_global_vertex_map(vm, pose[:, None], valid5)[:, 0]
+    gn = compute_global_normal_map(nm, pose[:, None])[:, 0]
+    return vm[:, 0], nm[:, 0], gv, gn, valid5[:, 0, ..., 0]
+
+
+def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
+    """Odometry: new pose for the live frame (reference icpslam.py:238-247).
+
+    The live frame is seeded with the previous pose; the frame cloud is the
+    strided-downsampled global vertex/normal map; the target cloud is the
+    downsample-gated set of map points active in the previous frame.
+    """
+    B, H, W, _ = rgb.shape
+    ds = opts.dsratio
+    vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
+
+    # source: strided frame points (fixed size S = ceil(H/ds)*ceil(W/ds))
+    sl = (slice(None), slice(None, None, ds), slice(None, None, ds))
+    src = gv[sl].reshape(B, -1, 3)
+    src_valid = valid[sl].reshape(B, -1)
+
+    # target: active map points whose projected pixel is on the ds grid
+    h, w, active = project_map_to_frame(
+        map_state, prev_pose, intrinsics, H, W
+    )
+    cand = active & (h % ds == 0) & (w % ds == 0)
+    tgt_cap = opts.tgt_capacity or _default_tgt_capacity(H, W, ds)
+    idx, tgt_valid = compact_masked(cand, tgt_cap)
+    take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
+    tgt = take(map_state.points)
+    tgt_n = take(map_state.normals)
+
+    common = dict(
+        numiters=opts.numiters,
+        damp=opts.damp,
+        dist_thresh=opts.dist_thresh,
+        src_valid=src_valid.astype(src.dtype),
+        tgt_valid=tgt_valid,
+    )
+    if opts.odom == "gradicp":
+        transform = point_to_plane_gradICP(
+            src,
+            tgt,
+            tgt_n,
+            None,
+            lambda_max=opts.lambda_max,
+            B=opts.B,
+            B2=opts.B2,
+            nu=opts.nu,
+            **common,
+        )
+    else:
+        transform = point_to_plane_ICP(src, tgt, tgt_n, None, **common)
+    return compose_transformations(transform, prev_pose)
+
+
+def _default_tgt_capacity(H, W, ds):
+    cap = 4 * ((H + ds - 1) // ds) * ((W + ds - 1) // ds)
+    return max(1024, ((cap + 1023) // 1024) * 1024)
+
+
+def _map_update(map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions):
+    """Mapping: fuse or aggregate the live frame into the arena."""
+    vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, pose)
+    if opts.fusion:
+        corr = find_correspondences_dense(
+            map_state, gv, gn, pose, intrinsics, opts.dist_th, opts.dot_th
+        )
+        return fuse_map_dense(
+            map_state, corr, gv, gn, vm, rgb, valid, opts.sigma
+        )
+    return aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
+
+
+def slam_step(
+    map_state: MapState,
+    prev_pose: jnp.ndarray,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    opts: SLAMOptions,
+    gt_pose: Optional[jnp.ndarray] = None,
+) -> Tuple[MapState, jnp.ndarray]:
+    """One SLAM step: localize then map (reference ``ICPSLAM.step``,
+    icpslam.py:140-178).
+
+    Args:
+        map_state: current arena; prev_pose: (B, 4, 4).
+        rgb/depth: (B, H, W, 3/1); intrinsics: (B, 1, 4, 4).
+        gt_pose: (B, 4, 4), required when opts.odom == 'gt'.
+
+    Returns:
+        (new_map_state, pose).
+    """
+    if opts.odom == "gt":
+        if gt_pose is None:
+            raise ValueError("gt odometry requires gt_pose")
+        pose = gt_pose
+    else:
+        pose = _localize(map_state, prev_pose, rgb, depth, intrinsics, opts)
+    new_map = _map_update(map_state, pose, rgb, depth, intrinsics, opts)
+    return new_map, pose
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "capacity"))
+def slam_sequence(
+    rgb_seq: jnp.ndarray,
+    depth_seq: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    poses_seq: Optional[jnp.ndarray],
+    opts: SLAMOptions,
+    capacity: int,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Runs SLAM over a full sequence with a single ``lax.scan``.
+
+    Args:
+        rgb_seq: (B, L, H, W, 3); depth_seq: (B, L, H, W, 1).
+        intrinsics: (B, 1, 4, 4).
+        poses_seq: (B, L, 4, 4) ground-truth/seed poses or None.
+        capacity: map arena capacity.
+
+    Returns:
+        (map_state, recovered_poses (B, L, 4, 4)).
+    """
+    B, L, H, W, _ = rgb_seq.shape
+    dtype = rgb_seq.dtype
+    if opts.odom == "gt" and poses_seq is None:
+        raise ValueError("gt odometry requires poses")
+
+    map_state = init_map(B, capacity, dtype)
+
+    # frame 0: identity pose unless poses are provided (icpslam.py:127-132)
+    if poses_seq is None:
+        pose0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    else:
+        pose0 = poses_seq[:, 0]
+    map_state = _map_update(
+        map_state, pose0, rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts
+    )
+
+    if L == 1:
+        return map_state, pose0[:, None]
+
+    xs = (
+        jnp.swapaxes(rgb_seq[:, 1:], 0, 1),  # (L-1, B, H, W, 3)
+        jnp.swapaxes(depth_seq[:, 1:], 0, 1),
+        (
+            jnp.swapaxes(poses_seq[:, 1:], 0, 1)
+            if poses_seq is not None
+            else jnp.zeros((L - 1, B, 4, 4), dtype)
+        ),
+    )
+
+    def scan_body(carry, x):
+        m, prev_pose = carry
+        rgb, depth, gt_pose = x
+        m, pose = slam_step(
+            m,
+            prev_pose,
+            rgb,
+            depth,
+            intrinsics,
+            opts,
+            gt_pose if opts.odom == "gt" else None,
+        )
+        return (m, pose), pose
+
+    (map_state, _), poses_rest = jax.lax.scan(
+        scan_body, (map_state, pose0), xs
+    )
+    poses = jnp.concatenate(
+        [pose0[:, None], jnp.swapaxes(poses_rest, 0, 1)], axis=1
+    )
+    return map_state, poses
+
+
+class ICPSLAM:
+    """ICP-SLAM pipeline (reference gradslam/slam/icpslam.py:18).
+
+    Example:
+        >>> slam = ICPSLAM(odom='gradicp')
+        >>> pointclouds, poses = slam(rgbdimages)
+
+    Args:
+        odom: odometry method, one of 'gt', 'icp', 'gradicp'.
+        dsratio: downsampling ratio for ICP (default 4).
+        numiters: ICP iterations (default 20).
+        damp / dist_thresh: solver damping and association gate.
+        map_capacity: override the arena capacity (default L*H*W).
+    """
+
+    _fusion = False
+
+    def __init__(
+        self,
+        *,
+        odom: str = "gradicp",
+        dsratio: int = 4,
+        numiters: int = 20,
+        damp: float = 1e-8,
+        dist_thresh: Optional[float] = None,
+        map_capacity: Optional[int] = None,
+        tgt_capacity: Optional[int] = None,
+        **kwargs,
+    ):
+        if odom not in ("gt", "icp", "gradicp"):
+            raise ValueError(
+                f"odometry method {odom!r} not in ('gt', 'icp', 'gradicp')"
+            )
+        self.odom = odom
+        self.opts = SLAMOptions(
+            odom=odom,
+            dsratio=dsratio,
+            numiters=numiters,
+            damp=damp,
+            dist_thresh=dist_thresh,
+            fusion=self._fusion,
+            map_capacity=map_capacity,
+            tgt_capacity=tgt_capacity,
+            **kwargs,
+        )
+
+    def __call__(self, frames: RGBDImages):
+        return self.forward(frames)
+
+    def forward(self, frames: RGBDImages):
+        """Runs SLAM over a full frame sequence.
+
+        Returns:
+            (pointclouds, poses): the recovered global map as
+            :class:`Pointclouds` and (B, L, 4, 4) poses.
+        """
+        if not isinstance(frames, RGBDImages):
+            raise TypeError(
+                f"expected RGBDImages, got {type(frames).__name__}"
+            )
+        rgbd = frames.to_channels_last()
+        B, L, H, W = rgbd.shape
+        capacity = self.opts.map_capacity or L * H * W
+        map_state, poses = slam_sequence(
+            rgbd.rgb_image,
+            rgbd.depth_image,
+            rgbd.intrinsics,
+            rgbd.poses,
+            self.opts,
+            capacity,
+        )
+        return map_to_pointclouds(map_state), poses
+
+    def step(
+        self,
+        map_state: MapState,
+        live_frame: RGBDImages,
+        prev_pose: Optional[jnp.ndarray] = None,
+    ):
+        """Incremental API: localize + map one frame (icpslam.py:140-178).
+
+        Args:
+            map_state: current arena (use ``init_map`` to create).
+            live_frame: (B, 1) RGBDImages; must have poses for gt odometry.
+            prev_pose: (B, 4, 4) previous pose; None for the first frame.
+
+        Returns:
+            (map_state, pose (B, 4, 4)).
+        """
+        rgbd = live_frame.to_channels_last()
+        rgb = rgbd.rgb_image[:, 0]
+        depth = rgbd.depth_image[:, 0]
+        if prev_pose is None or self.odom == "gt":
+            if not rgbd.has_poses:
+                raise ValueError(
+                    "live_frame must have poses for the first frame or gt "
+                    "odometry"
+                )
+            pose = rgbd.poses[:, 0]
+            new_map = _map_update(
+                map_state, pose, rgb, depth, rgbd.intrinsics, self.opts
+            )
+            return new_map, pose
+        return slam_step(
+            map_state, prev_pose, rgb, depth, rgbd.intrinsics, self.opts
+        )
+
+    def __repr__(self):
+        return f"{type(self).__name__}(odom={self.odom!r}, opts={self.opts})"

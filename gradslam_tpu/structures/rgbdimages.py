@@ -129,12 +129,11 @@ def compute_normal_map(
     dh_sq = jnp.sum(dh * dh, axis=-1, keepdims=True)
     dv_sq = jnp.sum(dv * dv, axis=-1, keepdims=True)
     degenerate = norm_sq <= 1e-12 * dh_sq * dv_sq
-    norm = jnp.sqrt(norm_sq)
-    normal = jnp.where(
-        degenerate,
-        jnp.zeros_like(normal),
-        normal / jnp.where(norm == 0, jnp.ones_like(norm), norm),
-    )
+    # double-where: sqrt(0) has an infinite derivative, so the argument must
+    # be guarded BEFORE sqrt or reverse-mode AD pollutes the whole map with
+    # NaN cotangents even though `where` discards the primal value.
+    norm = jnp.sqrt(jnp.where(degenerate, jnp.ones_like(norm_sq), norm_sq))
+    normal = jnp.where(degenerate, jnp.zeros_like(normal), normal / norm)
     if mask is not None:
         normal = normal * mask.astype(normal.dtype)
     return normal

@@ -1,0 +1,175 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.slam import (
+    find_active_map_points,
+    find_correspondences,
+    find_correspondences_dense,
+    get_alpha,
+    update_map_aggregate,
+    update_map_fusion,
+)
+from gradslam_tpu.slam.fusionutils import _pointclouds_to_mapstate
+from gradslam_tpu.structures import Pointclouds, RGBDImages
+from gradslam_tpu.structures.utils import pointclouds_from_rgbdimages
+
+DOT_TH = float(np.cos(np.radians(20.0)))
+
+
+@pytest.fixture
+def frame0(msrd_data):
+    """Frame 0 of the golden clip as a (B=2, L=1) RGBDImages."""
+    return RGBDImages(
+        msrd_data["colors"][:, :1],
+        msrd_data["depths"][:, :1],
+        msrd_data["intrinsics"],
+        msrd_data["poses"][:, :1],
+    )
+
+
+@pytest.fixture
+def frame1(msrd_data):
+    return RGBDImages(
+        msrd_data["colors"][:, 1:2],
+        msrd_data["depths"][:, 1:2],
+        msrd_data["intrinsics"],
+        msrd_data["poses"][:, 1:2],
+    )
+
+
+class TestGetAlpha:
+    def test_hand_values(self):
+        # alpha = exp(-|p|^2 / (2 sigma^2)), reference fusionutils.py:69-73
+        pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        a = np.asarray(get_alpha(pts, sigma=0.6))
+        np.testing.assert_allclose(a, [1.0, np.exp(-1.0 / 0.72)], rtol=1e-5)
+
+    def test_clamp_bounds(self):
+        pts = jnp.asarray([[100.0, 0.0, 0.0]])
+        a = float(get_alpha(pts, sigma=0.6)[0])
+        assert a == pytest.approx(1e-7)
+
+    def test_gradcheck(self):
+        # the one real gradcheck in the reference suite
+        # (test_fusionutils.py:56-75) — finite differences vs AD
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.randn(5, 3).astype(np.float32) * 0.3)
+
+        f = lambda p: jnp.sum(get_alpha(p, sigma=0.6))
+        g = np.asarray(jax.grad(f)(pts))
+        eps = 1e-3
+        for i in range(5):
+            for j in range(3):
+                delta = np.zeros((5, 3), np.float32)
+                delta[i, j] = eps
+                fd = (float(f(pts + delta)) - float(f(pts - delta))) / (2 * eps)
+                np.testing.assert_allclose(g[i, j], fd, rtol=1e-2, atol=1e-4)
+
+
+class TestReprojectionInvariant:
+    """Projecting a map built from frame 0 back onto frame 0 must hit
+    exactly the valid-depth pixels and reproduce colors
+    (reference test_fusionutils.py:305-333)."""
+
+    def test_active_map_points_hit_valid_pixels(self, frame0):
+        pc = pointclouds_from_rgbdimages(frame0)
+        table = np.asarray(find_active_map_points(pc, frame0))
+        valid = np.asarray(frame0.valid_depth_mask)[:, 0, ..., 0]
+        n_valid = valid.sum()
+        assert table.shape[0] == n_valid
+        # every (b, h, w) in the table is a valid-depth pixel
+        assert valid[table[:, 0], table[:, 2], table[:, 3]].all()
+
+    def test_correspondences_reproduce_colors(self, frame0):
+        pc = pointclouds_from_rgbdimages(frame0)
+        # ccounts needed by unique-correspondence stage
+        pc.features_padded = jnp.ones(pc.points_padded.shape[:2] + (1,))
+        table = np.asarray(
+            find_correspondences(pc, frame0, dist_th=0.05, dot_th=DOT_TH)
+        )
+        colors = np.asarray(frame0.rgb_image)[:, 0]
+        map_colors = np.asarray(pc.colors_padded)
+        got = map_colors[table[:, 0], table[:, 1]]
+        expect = colors[table[:, 0], table[:, 2], table[:, 3]]
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+    def test_dense_matches_table_winner_count(self, frame0):
+        pc = pointclouds_from_rgbdimages(frame0)
+        pc.features_padded = jnp.ones(pc.points_padded.shape[:2] + (1,))
+        table = np.asarray(
+            find_correspondences(pc, frame0, dist_th=0.05, dot_th=DOT_TH)
+        )
+        ms = _pointclouds_to_mapstate(pc)
+        rgbd = frame0.to_channels_last()
+        corr = find_correspondences_dense(
+            ms,
+            rgbd.global_vertex_map[:, 0],
+            rgbd.global_normal_map[:, 0],
+            rgbd.poses[:, 0],
+            rgbd.intrinsics,
+            0.05,
+            DOT_TH,
+        )
+        assert int(np.asarray(corr.winner).sum()) == table.shape[0]
+        # winners are the same (b, n) pairs
+        wb, wn = np.nonzero(np.asarray(corr.winner))
+        got = set(zip(wb.tolist(), wn.tolist()))
+        expect = set(zip(table[:, 0].tolist(), table[:, 1].tolist()))
+        assert got == expect
+
+
+class TestMapUpdates:
+    def test_aggregate_counts(self, frame0, frame1):
+        pc = update_map_aggregate(Pointclouds(), frame0)
+        v0 = np.asarray(frame0.valid_depth_mask)[:, 0, ..., 0].sum((1, 2))
+        np.testing.assert_array_equal(
+            np.asarray(pc.num_points_per_pointcloud), v0
+        )
+        pc = update_map_aggregate(pc, frame1)
+        v1 = np.asarray(frame1.valid_depth_mask)[:, 0, ..., 0].sum((1, 2))
+        np.testing.assert_array_equal(
+            np.asarray(pc.num_points_per_pointcloud), v0 + v1
+        )
+
+    def test_fusion_no_growth_on_refusing_same_frame(self, frame0):
+        """Fusing the same frame twice must not (significantly) grow the
+        map: corresponded pixels merge instead of appending."""
+        pc = update_map_fusion(
+            Pointclouds(), frame0, dist_th=0.05, dot_th=DOT_TH, sigma=0.6
+        )
+        n1 = np.asarray(pc.num_points_per_pointcloud).copy()
+        pc2 = update_map_fusion(
+            pc, frame0, dist_th=0.05, dot_th=DOT_TH, sigma=0.6
+        )
+        n2 = np.asarray(pc2.num_points_per_pointcloud)
+        # all valid pixels should correspond to their own map points
+        growth = (n2 - n1) / n1
+        assert growth.max() < 0.05, f"map grew {growth} on identical refusion"
+
+    def test_fusion_merge_preserves_positions_same_frame(self, frame0):
+        pc = update_map_fusion(
+            Pointclouds(), frame0, dist_th=0.05, dot_th=DOT_TH, sigma=0.6
+        )
+        pc2 = update_map_fusion(
+            pc, frame0, dist_th=0.05, dot_th=DOT_TH, sigma=0.6
+        )
+        n = int(pc.num_points_per_pointcloud[0])
+        a = np.asarray(pc.points_padded[0, :n])
+        b = np.asarray(pc2.points_padded[0, :n])
+        # merging identical observations leaves positions unchanged
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_fusion_ccounts_increase(self, frame0):
+        pc = update_map_fusion(
+            Pointclouds(), frame0, dist_th=0.05, dot_th=DOT_TH, sigma=0.6
+        )
+        pc2 = update_map_fusion(
+            pc, frame0, dist_th=0.05, dot_th=DOT_TH, sigma=0.6
+        )
+        n = int(pc.num_points_per_pointcloud[0])
+        c1 = np.asarray(pc.features_padded[0, :n, 0])
+        c2 = np.asarray(pc2.features_padded[0, :n, 0])
+        assert (c2 >= c1 - 1e-6).all()
+        assert c2.mean() > c1.mean() * 1.5

@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.slam import ICPSLAM, PointFusion
+from gradslam_tpu.structures import RGBDImages
+
+
+@pytest.fixture
+def rgbd(msrd_data):
+    return RGBDImages(
+        msrd_data["colors"],
+        msrd_data["depths"],
+        msrd_data["intrinsics"],
+        msrd_data["poses"],
+    )
+
+
+class TestICPSLAMGt:
+    def test_gt_odometry_returns_gt_poses(self, rgbd, msrd_data):
+        slam = ICPSLAM(odom="gt")
+        pc, poses = slam(rgbd)
+        np.testing.assert_allclose(
+            np.asarray(poses), msrd_data["poses"], atol=1e-6
+        )
+
+    def test_aggregate_map_counts(self, rgbd, msrd_data):
+        slam = ICPSLAM(odom="gt")
+        pc, poses = slam(rgbd)
+        valid = (msrd_data["depths"] > 0)[..., 0].sum((1, 2, 3))
+        np.testing.assert_array_equal(
+            np.asarray(pc.num_points_per_pointcloud), valid
+        )
+
+
+class TestPointFusionGt:
+    def test_map_smaller_than_aggregate(self, rgbd):
+        agg, _ = ICPSLAM(odom="gt")(rgbd)
+        fus, _ = PointFusion(odom="gt")(rgbd)
+        n_agg = np.asarray(agg.num_points_per_pointcloud)
+        n_fus = np.asarray(fus.num_points_per_pointcloud)
+        assert (n_fus < n_agg).all()
+        assert (n_fus > 0).all()
+
+    def test_map_has_valid_attributes(self, rgbd):
+        pc, _ = PointFusion(odom="gt")(rgbd)
+        n = int(pc.num_points_per_pointcloud[0])
+        pts = np.asarray(pc.points_padded[0, :n])
+        cc = np.asarray(pc.features_padded[0, :n, 0])
+        assert np.isfinite(pts).all()
+        assert (cc > 0).all()
+
+
+class TestOdometrySLAM:
+    @pytest.mark.parametrize("odom", ["gradicp", "icp"])
+    def test_recovered_trajectory_close_to_gt(self, rgbd, msrd_data, odom):
+        """Frame-to-frame motion in the golden clip is small; ICP odometry
+        started from GT frame 0 must stay close to the GT trajectory
+        (analogue of the reference's synthetic-recovery oracle)."""
+        slam = PointFusion(odom=odom, numiters=10)
+        pc, poses = slam(rgbd)
+        gt = msrd_data["poses"]
+        # translation error per frame
+        terr = np.linalg.norm(
+            np.asarray(poses)[..., :3, 3] - gt[..., :3, 3], axis=-1
+        )
+        assert terr.max() < 0.02, f"translation error {terr.max()}"
+        # rotation error: trace of relative rotation
+        R = np.asarray(poses)[..., :3, :3]
+        Rg = gt[..., :3, :3]
+        cos = (np.einsum("blij,blij->bl", R, Rg) - 1.0) / 2.0
+        ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        assert ang.max() < 2.0, f"rotation error {ang.max()} deg"
+
+    def test_no_poses_starts_identity(self, msrd_data):
+        rgbd = RGBDImages(
+            msrd_data["colors"],
+            msrd_data["depths"],
+            msrd_data["intrinsics"],
+        )
+        slam = PointFusion(odom="gradicp", numiters=5)
+        pc, poses = slam(rgbd)
+        np.testing.assert_allclose(
+            np.asarray(poses[:, 0]),
+            np.broadcast_to(np.eye(4), (2, 4, 4)),
+            atol=1e-6,
+        )
+
+
+class TestIncrementalStep:
+    def test_step_matches_forward(self, rgbd, msrd_data):
+        from gradslam_tpu.structures import init_map, map_to_pointclouds
+
+        slam = ICPSLAM(odom="gt")
+        B, L, H, W = rgbd.shape
+        m = init_map(B, L * H * W)
+        pose = None
+        for s in range(L):
+            m, pose = slam.step(m, rgbd[:, s], pose)
+        pc_inc = map_to_pointclouds(m)
+        pc_fwd, _ = slam(rgbd)
+        np.testing.assert_array_equal(
+            np.asarray(pc_inc.num_points_per_pointcloud),
+            np.asarray(pc_fwd.num_points_per_pointcloud),
+        )
+        n = int(pc_inc.num_points_per_pointcloud[0])
+        np.testing.assert_allclose(
+            np.asarray(pc_inc.points_padded[0, :n]),
+            np.asarray(pc_fwd.points_padded[0, :n]),
+            atol=1e-6,
+        )
+
+
+class TestDifferentiability:
+    def test_grad_through_full_slam(self, msrd_data):
+        """End-to-end gradients: a loss on the recovered trajectory
+        differentiates back to the raw depth maps (BASELINE configs[5])."""
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        colors = jnp.asarray(msrd_data["colors"][:1, :2, ::4, ::4])
+        depths = jnp.asarray(msrd_data["depths"][:1, :2, ::4, ::4])
+        K = jnp.asarray(msrd_data["intrinsics"][:1]).at[:, :, :2].mul(0.25)
+        opts = SLAMOptions(odom="gradicp", numiters=3, fusion=True, dsratio=2)
+        cap = 2 * depths.shape[2] * depths.shape[3]
+
+        def loss(d):
+            _, poses = slam_sequence(colors, d, K, None, opts, cap)
+            return jnp.sum(poses[:, 1, :3, 3] ** 2)
+
+        g = jax.grad(loss)(depths)
+        assert g.shape == depths.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
