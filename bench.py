@@ -1,0 +1,129 @@
+"""Benchmark: PointFusion SLAM throughput at the reference operating point.
+
+Operating point (reference examples/pointfusion.py:46-56): 160x120 RGB-D,
+seqlen 10, batch 2, dsratio 4, 20 gradICP iterations, PointFusion mapping.
+Frames come from the real golden RGB-D clip (tests/data/msrd_b2s3, 120x160)
+cycled to sequence length 10.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+measured: the identical JAX pipeline run on one CPU host (the reference's
+own CI/examples target CPU torch). The CPU number is cached in
+.bench_baseline.json after the first run.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).parent
+BASELINE_CACHE = ROOT / ".bench_baseline.json"
+
+B, L = 2, 10
+NUMITERS = 20
+DSRATIO = 4
+REPS = 10
+
+
+def load_sequence():
+    d = ROOT / "tests" / "data" / "msrd_b2s3"
+    colors = np.load(d / "colors.npy")  # (2, 3, 120, 160, 3)
+    depths = np.load(d / "depths.npy")
+    idx = [i % colors.shape[1] for i in range(L)]
+    colors = colors[:, idx]
+    depths = depths[:, idx]
+    K = np.load(d / "intrinsics.npy")
+    return colors.astype(np.float32), depths.astype(np.float32), K.astype(np.float32)
+
+
+def run_pipeline(reps=REPS):
+    import jax
+    import jax.numpy as jnp
+
+    from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+    colors, depths, K = load_sequence()
+    H, W = colors.shape[2], colors.shape[3]
+    opts = SLAMOptions(
+        odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True
+    )
+    capacity = L * H * W
+    rgb = jnp.asarray(colors)
+    dep = jnp.asarray(depths)
+    Kj = jnp.asarray(K)
+
+    # Return a scalar checksum and synchronize by fetching it to host:
+    # device_get is the only reliable sync point on every backend (some
+    # remote backends treat block_until_ready as a no-op).
+    def _run(r, d, k):
+        m, poses = slam_sequence(r, d, k, None, opts, capacity)
+        return poses.sum() + m.points.sum()
+
+    fn = jax.jit(_run)
+    float(fn(rgb, dep, Kj))  # compile + warmup (first run loads the binary)
+    float(fn(rgb, dep, Kj))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = float(fn(rgb, dep, Kj))
+    dt = (time.perf_counter() - t0) / reps
+    return (B * L) / dt  # frames per second
+
+
+def measure_cpu_baseline():
+    """Runs the identical workload on CPU in a subprocess, caching result."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())["cpu_frames_per_sec"]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import bench; print('CPUFPS', bench.run_pipeline(reps=2))"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            env=env,
+            timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CPUFPS"):
+                fps = float(line.split()[1])
+                BASELINE_CACHE.write_text(
+                    json.dumps({"cpu_frames_per_sec": fps})
+                )
+                return fps
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+    except Exception as e:  # pragma: no cover
+        sys.stderr.write(f"baseline measurement failed: {e}\n")
+    return None
+
+
+def main():
+    fps = run_pipeline()
+    cpu_fps = measure_cpu_baseline()
+    vs = fps / cpu_fps if cpu_fps else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "pointfusion_gradicp_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(vs, 3) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .trajectory import ate_rmse, rpe, trajectory_positions, umeyama_alignment
+
+__all__ = ["ate_rmse", "rpe", "trajectory_positions", "umeyama_alignment"]
