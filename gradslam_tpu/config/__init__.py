@@ -1,0 +1,3 @@
+from .cfgnode import CfgNode
+
+__all__ = ["CfgNode"]
