@@ -1,0 +1,177 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.geometry import inverse_transformation, se3_exp
+from gradslam_tpu.parallel.pose_refine import (
+    PoseGraph,
+    ba_refine,
+    pose_graph_refine,
+    pose_graph_refine_sharded,
+    pose_graph_residuals,
+)
+
+
+def make_graph(rng, L=8, noise=0.05, loop_closures=2):
+    """Ground-truth trajectory + noisy initialization + exact edge
+    measurements (so the optimum recovers the ground truth)."""
+    gt = [np.eye(4, dtype=np.float32)]
+    for _ in range(L - 1):
+        xi = rng.randn(6).astype(np.float32) * 0.3
+        gt.append(gt[-1] @ np.asarray(se3_exp(jnp.asarray(xi))))
+    gt = np.stack(gt)
+
+    edges = [(i, i + 1) for i in range(L - 1)]
+    for _ in range(loop_closures):
+        i, j = sorted(rng.choice(L, 2, replace=False))
+        if i != j:
+            edges.append((int(i), int(j)))
+    edges = np.asarray(edges, dtype=np.int32)
+
+    Z = np.stack(
+        [np.linalg.inv(gt[i]) @ gt[j] for i, j in edges]
+    ).astype(np.float32)
+
+    # noisy initialization (keep pose 0 = gauge anchor exact)
+    init = gt.copy()
+    for i in range(1, L):
+        xi = rng.randn(6).astype(np.float32) * noise
+        init[i] = np.asarray(se3_exp(jnp.asarray(xi))) @ init[i]
+
+    graph = PoseGraph(
+        poses=jnp.asarray(init),
+        edges=jnp.asarray(edges),
+        measurements=jnp.asarray(Z),
+        weights=jnp.ones((len(edges),), jnp.float32),
+    )
+    return graph, gt
+
+
+class TestPoseGraphRefine:
+    def test_residuals_zero_at_gt(self):
+        rng = np.random.RandomState(0)
+        graph, gt = make_graph(rng, noise=0.0)
+        r = pose_graph_residuals(graph)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-4)
+
+    def test_recovers_ground_truth(self):
+        rng = np.random.RandomState(1)
+        graph, gt = make_graph(rng, L=8, noise=0.05)
+        refined = pose_graph_refine(graph, num_iters=10)
+        r_before = np.abs(np.asarray(pose_graph_residuals(graph))).max()
+        r_after = np.abs(
+            np.asarray(
+                pose_graph_residuals(graph._replace(poses=refined))
+            )
+        ).max()
+        assert r_after < 1e-3, f"residual after refine: {r_after}"
+        assert r_after < r_before / 10
+        # trajectory matches ground truth (gauge: pose0 anchored at gt)
+        np.testing.assert_allclose(np.asarray(refined), gt, atol=5e-3)
+
+    def test_weight_zero_disables_edge(self):
+        rng = np.random.RandomState(2)
+        graph, gt = make_graph(rng, L=5, noise=0.03, loop_closures=0)
+        # corrupt one loop edge but give it weight 0: result unchanged
+        bad_edge = jnp.asarray([[0, 4]], dtype=jnp.int32)
+        bad_Z = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+        g2 = PoseGraph(
+            poses=graph.poses,
+            edges=jnp.concatenate([graph.edges, bad_edge]),
+            measurements=jnp.concatenate([graph.measurements, bad_Z]),
+            weights=jnp.concatenate(
+                [graph.weights, jnp.zeros((1,), jnp.float32)]
+            ),
+        )
+        a = pose_graph_refine(graph, num_iters=5)
+        b = pose_graph_refine(g2, num_iters=5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestShardedPoseGraph:
+    def test_matches_single_device(self):
+        from gradslam_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        rng = np.random.RandomState(3)
+        graph, gt = make_graph(rng, L=10, noise=0.05, loop_closures=3)
+        mesh = make_mesh(data=len(jax.devices()), map_=1)
+        single = pose_graph_refine(graph, num_iters=8)
+        sharded = pose_graph_refine_sharded(graph, mesh, num_iters=8)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=1e-4
+        )
+
+
+class TestBA:
+    def test_recovers_poses_and_landmarks(self):
+        rng = np.random.RandomState(4)
+        L, M = 4, 30
+        gt_poses = [np.eye(4, dtype=np.float32)]
+        for _ in range(L - 1):
+            xi = rng.randn(6).astype(np.float32) * 0.2
+            gt_poses.append(
+                gt_poses[-1] @ np.asarray(se3_exp(jnp.asarray(xi)))
+            )
+        gt_poses = np.stack(gt_poses)
+        gt_lms = rng.randn(M, 3).astype(np.float32) * 2.0 + np.array(
+            [0, 0, 5], np.float32
+        )
+
+        # every landmark observed from every pose (camera-frame points)
+        obs_pose, obs_lm, obs_pts = [], [], []
+        for p in range(L):
+            tinv = np.linalg.inv(gt_poses[p])
+            for l in range(M):
+                obs_pose.append(p)
+                obs_lm.append(l)
+                obs_pts.append(tinv[:3, :3] @ gt_lms[l] + tinv[:3, 3])
+        obs_pose = np.asarray(obs_pose, np.int32)
+        obs_lm = np.asarray(obs_lm, np.int32)
+        obs_pts = np.stack(obs_pts).astype(np.float32)
+
+        # noisy init (pose 0 exact for gauge)
+        init_poses = gt_poses.copy()
+        for i in range(1, L):
+            xi = rng.randn(6).astype(np.float32) * 0.05
+            init_poses[i] = (
+                np.asarray(se3_exp(jnp.asarray(xi))) @ init_poses[i]
+            )
+        init_lms = gt_lms + rng.randn(M, 3).astype(np.float32) * 0.05
+
+        poses, lms = ba_refine(
+            jnp.asarray(init_poses),
+            jnp.asarray(init_lms),
+            jnp.asarray(obs_pose),
+            jnp.asarray(obs_lm),
+            jnp.asarray(obs_pts),
+            num_iters=10,
+            damping=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(poses), gt_poses, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(lms), gt_lms, atol=1e-2)
+
+    def test_reduces_residual(self):
+        rng = np.random.RandomState(5)
+        L, M = 3, 10
+        poses = np.broadcast_to(np.eye(4, dtype=np.float32), (L, 4, 4)).copy()
+        lms = rng.randn(M, 3).astype(np.float32) + [0, 0, 4]
+        obs_pose = np.repeat(np.arange(L, dtype=np.int32), M)
+        obs_lm = np.tile(np.arange(M, dtype=np.int32), L)
+        obs = np.concatenate([lms] * L) + rng.randn(L * M, 3).astype(
+            np.float32
+        ) * 0.01
+        p2, l2 = ba_refine(
+            jnp.asarray(poses),
+            jnp.asarray(lms + 0.1),
+            jnp.asarray(obs_pose),
+            jnp.asarray(obs_lm),
+            jnp.asarray(obs),
+            num_iters=5,
+        )
+        # refined landmarks closer to observations than the perturbed init
+        err_before = np.abs(lms + 0.1 - obs[:M]).mean()
+        err_after = np.abs(np.asarray(l2) - obs[:M]).mean()
+        assert err_after < err_before
