@@ -14,6 +14,7 @@ from .maparena import (
     map_mask,
     map_to_pointclouds,
 )
+from .structutils import list_to_padded, padded_to_list
 from .utils import pointclouds_from_rgbdimages
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "append_to_map",
     "map_to_pointclouds",
     "pointclouds_from_rgbdimages",
+    "list_to_padded",
+    "padded_to_list",
     "compute_vertex_map",
     "compute_global_vertex_map",
     "compute_normal_map",
