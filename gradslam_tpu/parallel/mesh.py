@@ -58,13 +58,10 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def shard_map_state(mesh: Mesh, map_state):
-    """Shards a MapState: batch over 'data', capacity over 'map'."""
-    s_pts = NamedSharding(mesh, P("data", "map"))
+    """Shards a MapState: batch over 'data', arena capacity over 'map'."""
+    s_data = NamedSharding(mesh, P("data", "map"))
     s_cnt = NamedSharding(mesh, P("data"))
     return type(map_state)(
-        points=jax.device_put(map_state.points, s_pts),
-        normals=jax.device_put(map_state.normals, s_pts),
-        colors=jax.device_put(map_state.colors, s_pts),
-        ccounts=jax.device_put(map_state.ccounts, s_pts),
+        data=jax.device_put(map_state.data, s_data),
         num_points=jax.device_put(map_state.num_points, s_cnt),
     )

@@ -29,7 +29,13 @@ from ..geometry import (
     transform_normals,
     transform_pointcloud,
 )
-from ..structures.maparena import MapState, append_to_map, map_mask
+from ..structures.maparena import (
+    MapState,
+    append_rows_to_map,
+    append_to_map,
+    map_mask,
+    pack_rows,
+)
 
 __all__ = [
     "get_alpha",
@@ -249,12 +255,12 @@ def fuse_map_dense(
         upd = (cc * old + alpha * frame_attr) * inv
         return jnp.where(win, upd, old)
 
-    merged = MapState(
-        points=merge(map_state.points, fp),
-        normals=merge(map_state.normals, fn),
-        colors=merge(map_state.colors, fc),
-        ccounts=jnp.where(win, cc_new, cc),
-        num_points=map_state.num_points,
+    merged = MapState.from_arrays(
+        merge(map_state.points, fp),
+        merge(map_state.normals, fn),
+        merge(map_state.colors, fc),
+        jnp.where(win, cc_new, cc),
+        map_state.num_points,
     )
 
     # --- append non-corresponded valid pixels --------------------------
@@ -267,6 +273,124 @@ def fuse_map_dense(
         alpha_img.reshape(B, H * W, 1),
         new_mask,
     )
+
+
+def fusion_update_compact(
+    map_state: MapState,
+    frame_vertex_global: jnp.ndarray,
+    frame_normal_global: jnp.ndarray,
+    frame_vertex_local: jnp.ndarray,
+    rgb_image: jnp.ndarray,
+    valid_depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    dist_th: float,
+    dot_th: float,
+    sigma: float,
+    active_capacity: int,
+) -> MapState:
+    """One-pass PointFusion update with active-set compaction (fast path).
+
+    Semantically equivalent to ``find_correspondences_dense`` +
+    ``fuse_map_dense`` but engineered for TPU gather/scatter cost, which is
+    dominated by the number of random-index rows touched:
+
+      - Active map points (those projecting into the frame) are compacted
+        into a fixed ``active_capacity`` buffer first, so every subsequent
+        gather/segment op runs over A = O(H*W) rows instead of the full
+        arena capacity — per-frame cost becomes independent of map size.
+      - Frame attributes (vertex, normal, rgb, alpha) are packed into one
+        (B, H*W, 10) image so the per-active-point frame lookup is a single
+        10-channel row gather instead of four 1-3-channel gathers.
+      - Winner merge results are scattered back to the arena in one pass.
+
+    If more than ``active_capacity`` map points are active, the
+    highest-index extras are deterministically dropped from association
+    for this frame (they are simply not merged; the affected pixels may
+    append a duplicate point). Size ``active_capacity`` generously
+    (default 4*H*W) to make this a non-event.
+    """
+    B, H, W, _ = frame_vertex_global.shape
+    CAP = map_state.capacity
+    HW = H * W
+    A = active_capacity
+
+    from ..ops.masking import compact_masked
+
+    h, w, active = project_map_to_frame(map_state, pose, intrinsics, H, W)
+    idxb, avalid = compact_masked(active, A)  # (B, A)
+
+    # one packed-row gather pulls every map attribute of the active set
+    ma = jnp.take_along_axis(map_state.data, idxb[..., None], axis=1)
+    mp, mn, mco, mcc = ma[..., 0:3], ma[..., 3:6], ma[..., 6:9], ma[..., 9:10]
+    pixa = jnp.take_along_axis(h * W + w, idxb, axis=1)  # (B, A)
+
+    # packed frame attributes: gv(3) gn(3) rgb(3) alpha(1) -> one gather
+    alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
+    frame_attr = jnp.concatenate(
+        [frame_vertex_global, frame_normal_global, rgb_image, alpha_img],
+        axis=-1,
+    ).reshape(B, HW, 10)
+    fa = jnp.take_along_axis(frame_attr, pixa[..., None], axis=1)  # (B, A, 10)
+    fp, fn, fc, falpha = fa[..., 0:3], fa[..., 3:6], fa[..., 6:9], fa[..., 9:10]
+
+    gated = (
+        avalid
+        & are_points_close(fp, mp, dist_th)
+        & are_normals_similar(fn, mn, dot_th)
+    )
+
+    # unique winner per pixel (same lexicographic tie-break as the
+    # reference's torch.unique sort: max ccount, min ray dist, min index)
+    pix_seg = jnp.where(gated, pixa, HW)
+    cc1 = mcc[..., 0]
+    ray = jnp.sum((mp - fp) ** 2, axis=-1)
+    slot = idxb  # original arena index for deterministic tie-break
+
+    def per_batch(pix_b, cc_b, rd_b, gated_b, slot_b):
+        seg_cc = jax.ops.segment_max(
+            jnp.where(gated_b, cc_b, -jnp.inf), pix_b, num_segments=HW + 1
+        )
+        cand1 = gated_b & (cc_b == seg_cc[pix_b])
+        seg_rd = jax.ops.segment_min(
+            jnp.where(cand1, rd_b, jnp.inf), pix_b, num_segments=HW + 1
+        )
+        cand2 = cand1 & (rd_b == seg_rd[pix_b])
+        seg_ix = jax.ops.segment_min(
+            jnp.where(cand2, slot_b, CAP), pix_b, num_segments=HW + 1
+        )
+        winner_b = cand2 & (slot_b == seg_ix[pix_b])
+        pix_corr_b = seg_ix[:HW] < CAP
+        return winner_b, pix_corr_b
+
+    winner, pix_corr = jax.vmap(per_batch)(pix_seg, cc1, ray, gated, slot)
+
+    # confidence-weighted merge on the compacted rows
+    win = winner[..., None]
+    alpha = jnp.where(win, falpha, jnp.zeros_like(falpha))
+    cc_new = mcc + alpha
+    inv = 1.0 / jnp.where(cc_new == 0, jnp.ones_like(cc_new), cc_new)
+    merged = pack_rows(
+        (mcc * mp + alpha * fp) * inv,
+        (mcc * mn + alpha * fn) * inv,
+        (mcc * mco + alpha * fc) * inv,
+        cc_new,
+    )  # (B, A, 12)
+
+    # single packed scatter writes winners back (non-winners dropped)
+    slots = jnp.where(winner, idxb, CAP)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, A))
+    state = MapState(
+        data=map_state.data.at[b_idx, slots].set(merged, mode="drop"),
+        num_points=map_state.num_points,
+    )
+
+    # append non-corresponded valid pixels (one packed scatter)
+    new_mask = valid_depth.reshape(B, HW) & ~pix_corr
+    frame_rows = jnp.concatenate(
+        [frame_attr, jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)], -1
+    )
+    return append_rows_to_map(state, frame_rows, new_mask)
 
 
 def aggregate_map_dense(
@@ -309,12 +433,12 @@ def _pointclouds_to_mapstate(pointclouds) -> MapState:
     colors = pointclouds.colors_padded
     if colors is None:
         colors = jnp.zeros_like(pointclouds.points_padded)
-    return MapState(
-        points=pointclouds.points_padded,
-        normals=normals,
-        colors=colors,
-        ccounts=feats,
-        num_points=pointclouds.num_points_per_pointcloud,
+    return MapState.from_arrays(
+        pointclouds.points_padded,
+        normals,
+        colors,
+        feats,
+        pointclouds.num_points_per_pointcloud,
     )
 
 
@@ -449,21 +573,13 @@ def update_map_fusion(pointclouds, rgbdimages, dist_th, dot_th, sigma):
     B, L, H, W = rgbd.shape
     ms = _pointclouds_to_mapstate(pointclouds)
     if len(pointclouds) == 0:
-        ms = MapState(
-            points=jnp.zeros((B, 0, 3)),
-            normals=jnp.zeros((B, 0, 3)),
-            colors=jnp.zeros((B, 0, 3)),
-            ccounts=jnp.zeros((B, 0, 1)),
-            num_points=jnp.zeros((B,), jnp.int32),
-        )
+        from ..structures.maparena import init_map
+
+        ms = init_map(B, 0)
     # grow arena by one frame
     grow = H * W
-    pad = lambda x: jnp.pad(x, ((0, 0), (0, grow), (0, 0)))
     ms = MapState(
-        points=pad(ms.points),
-        normals=pad(ms.normals),
-        colors=pad(ms.colors),
-        ccounts=pad(ms.ccounts),
+        data=jnp.pad(ms.data, ((0, 0), (0, grow), (0, 0))),
         num_points=ms.num_points,
     )
     gv, gn, lv, rgb, vd = _rgbd_frame_arrays(rgbd)

@@ -37,6 +37,7 @@ from .fusionutils import (
     aggregate_map_dense,
     find_correspondences_dense,
     fuse_map_dense,
+    fusion_update_compact,
     project_map_to_frame,
 )
 
@@ -57,6 +58,7 @@ class SLAMOptions(NamedTuple):
     sigma: float = 0.6
     map_capacity: Optional[int] = None  # default: L*H*W
     tgt_capacity: Optional[int] = None  # odometry candidate buffer
+    active_capacity: Optional[int] = None  # fusion active-set buffer (4*H*W)
     lambda_max: float = 2.0
     B: float = 1.0
     B2: float = 1.0
@@ -97,9 +99,10 @@ def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
     cand = active & (h % ds == 0) & (w % ds == 0)
     tgt_cap = opts.tgt_capacity or _default_tgt_capacity(H, W, ds)
     idx, tgt_valid = compact_masked(cand, tgt_cap)
-    take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
-    tgt = take(map_state.points)
-    tgt_n = take(map_state.normals)
+    # one packed-row gather for target points + normals
+    rows = jnp.take_along_axis(map_state.data, idx[..., None], axis=1)
+    tgt = rows[..., 0:3]
+    tgt_n = rows[..., 3:6]
 
     common = dict(
         numiters=opts.numiters,
@@ -134,11 +137,20 @@ def _map_update(map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions):
     """Mapping: fuse or aggregate the live frame into the arena."""
     vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, pose)
     if opts.fusion:
-        corr = find_correspondences_dense(
-            map_state, gv, gn, pose, intrinsics, opts.dist_th, opts.dot_th
-        )
-        return fuse_map_dense(
-            map_state, corr, gv, gn, vm, rgb, valid, opts.sigma
+        H, W = rgb.shape[1:3]
+        return fusion_update_compact(
+            map_state,
+            gv,
+            gn,
+            vm,
+            rgb,
+            valid,
+            pose,
+            intrinsics,
+            opts.dist_th,
+            opts.dot_th,
+            opts.sigma,
+            opts.active_capacity or 4 * H * W,
         )
     return aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
 

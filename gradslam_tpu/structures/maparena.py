@@ -8,6 +8,14 @@ count per batch element; "append" is a masked scatter at
 arena is also the sharding unit for multi-device runs (points dim sharded
 over the mesh).
 
+Storage layout: ONE packed (B, CAP, 12) array with channels
+``[points(0:3), normals(3:6), colors(6:9), ccounts(9:10), pad(10:12)]``.
+Random-index gathers/scatters on TPU cost per *row* touched, so packing
+all attributes into one row makes every arena update a single scatter and
+every arena lookup a single gather (4x fewer slow ops than per-attribute
+arrays). The ``points``/``normals``/``colors``/``ccounts`` properties are
+zero-copy slices.
+
 All functions are pure and jit/scan-safe.
 """
 
@@ -19,48 +27,97 @@ import jax.numpy as jnp
 
 __all__ = ["MapState", "init_map", "map_mask", "append_to_map", "map_to_pointclouds"]
 
+_CH = 12  # packed row width
+_PT, _NR, _CO, _CC = slice(0, 3), slice(3, 6), slice(6, 9), slice(9, 10)
+
 
 class MapState(NamedTuple):
-    """Global map state: a batch of fixed-capacity point arenas.
+    """Global map state: a batch of fixed-capacity packed point arenas.
 
     Attributes:
-        points: (B, CAP, 3) world-frame positions.
-        normals: (B, CAP, 3) world-frame normals.
-        colors: (B, CAP, 3) RGB.
-        ccounts: (B, CAP, 1) confidence counters (the reference's
-            ``features`` channel).
+        data: (B, CAP, 12) packed rows
+            ``[points, normals, colors, ccounts, pad]``.
         num_points: (B,) int32 live count per batch element.
+
+    Access attributes through the ``points`` / ``normals`` / ``colors`` /
+    ``ccounts`` properties (zero-copy slices).
     """
 
-    points: jnp.ndarray
-    normals: jnp.ndarray
-    colors: jnp.ndarray
-    ccounts: jnp.ndarray
+    data: jnp.ndarray
     num_points: jnp.ndarray
 
     @property
     def capacity(self) -> int:
-        return self.points.shape[1]
+        return self.data.shape[1]
+
+    @property
+    def points(self) -> jnp.ndarray:
+        return self.data[..., _PT]
+
+    @property
+    def normals(self) -> jnp.ndarray:
+        return self.data[..., _NR]
+
+    @property
+    def colors(self) -> jnp.ndarray:
+        return self.data[..., _CO]
+
+    @property
+    def ccounts(self) -> jnp.ndarray:
+        return self.data[..., _CC]
+
+    @classmethod
+    def from_arrays(cls, points, normals, colors, ccounts, num_points):
+        """Packs separate attribute arrays into arena layout."""
+        B, cap = points.shape[:2]
+        pad = jnp.zeros((B, cap, _CH - 10), dtype=points.dtype)
+        data = jnp.concatenate([points, normals, colors, ccounts, pad], -1)
+        return cls(data=data, num_points=num_points)
+
+
+def pack_rows(points, normals, colors, ccounts):
+    """Packs (…, 3/3/3/1) attributes into (…, 12) arena rows."""
+    pad = jnp.zeros(points.shape[:-1] + (_CH - 10,), dtype=points.dtype)
+    return jnp.concatenate([points, normals, colors, ccounts, pad], -1)
 
 
 def init_map(batch_size: int, capacity: int, dtype=jnp.float32) -> MapState:
     """Creates an empty map arena."""
-    B, C = batch_size, capacity
     return MapState(
-        points=jnp.zeros((B, C, 3), dtype),
-        normals=jnp.zeros((B, C, 3), dtype),
-        colors=jnp.zeros((B, C, 3), dtype),
-        ccounts=jnp.zeros((B, C, 1), dtype),
-        num_points=jnp.zeros((B,), jnp.int32),
+        data=jnp.zeros((batch_size, capacity, _CH), dtype),
+        num_points=jnp.zeros((batch_size,), jnp.int32),
     )
 
 
 def map_mask(state: MapState) -> jnp.ndarray:
     """(B, CAP) bool mask of live map slots."""
-    cap = state.points.shape[1]
+    cap = state.capacity
     return (
         jnp.arange(cap, dtype=jnp.int32)[None, :] < state.num_points[:, None]
     )
+
+
+def append_rows_to_map(
+    state: MapState, new_rows: jnp.ndarray, new_mask: jnp.ndarray
+) -> MapState:
+    """Appends packed (B, M, 12) candidate rows under a (B, M) mask.
+
+    Each selected row lands at slot ``num_points + (cumsum(mask) - 1)``;
+    rows beyond capacity are dropped (XLA scatter ``mode=drop``).
+    """
+    B, M = new_mask.shape
+    cap = state.capacity
+    mask_i = new_mask.astype(jnp.int32)
+    offsets = jnp.cumsum(mask_i, axis=1) - 1  # (B, M)
+    slots = state.num_points[:, None] + offsets
+    slots = jnp.where(new_mask, slots, cap)
+    slots = jnp.where(slots < cap, slots, cap)  # overflow -> drop
+
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+    data = state.data.at[b_idx, slots].set(new_rows, mode="drop")
+    n_added = jnp.sum(mask_i, axis=1)
+    new_count = jnp.minimum(state.num_points + n_added, cap)
+    return MapState(data=data, num_points=new_count)
 
 
 def append_to_map(
@@ -73,35 +130,11 @@ def append_to_map(
 ) -> MapState:
     """Appends masked candidate points to the arena (static shapes).
 
-    Candidates are (B, M, ·) with a (B, M) bool mask selecting which rows
-    are real. Each selected row lands at slot
-    ``num_points + (cumsum(mask) - 1)``; rows beyond capacity are dropped
-    (XLA scatter ``mode=drop``). Equivalent of the reference's ragged
-    ``Pointclouds.append_points`` (pointclouds.py:1117) under fusion
-    (fusionutils.py:702-721).
+    Equivalent of the reference's ragged ``Pointclouds.append_points``
+    (pointclouds.py:1117) under fusion (fusionutils.py:702-721).
     """
-    B, M = new_mask.shape
-    cap = state.points.shape[1]
-    mask_i = new_mask.astype(jnp.int32)
-    # target slot for each candidate; invalid rows aimed at `cap` (dropped)
-    offsets = jnp.cumsum(mask_i, axis=1) - 1  # (B, M)
-    slots = state.num_points[:, None] + offsets
-    slots = jnp.where(new_mask, slots, cap)
-    slots = jnp.where(slots < cap, slots, cap)  # overflow -> drop
-
-    def scat(dst, src):
-        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
-        return dst.at[b_idx, slots].set(src, mode="drop")
-
-    n_added = jnp.sum(mask_i, axis=1)
-    new_count = jnp.minimum(state.num_points + n_added, cap)
-    return MapState(
-        points=scat(state.points, new_points),
-        normals=scat(state.normals, new_normals),
-        colors=scat(state.colors, new_colors),
-        ccounts=scat(state.ccounts, new_ccounts),
-        num_points=new_count,
-    )
+    rows = pack_rows(new_points, new_normals, new_colors, new_ccounts)
+    return append_rows_to_map(state, rows, new_mask)
 
 
 def map_to_pointclouds(state: MapState):

@@ -18,7 +18,7 @@ from ..structures.maparena import MapState
 
 __all__ = ["save_slam_state", "load_slam_state"]
 
-_FIELDS = ("points", "normals", "colors", "ccounts", "num_points")
+_FIELDS = ("data", "num_points")
 
 
 def save_slam_state(

@@ -173,3 +173,63 @@ class TestMapUpdates:
         c2 = np.asarray(pc2.features_padded[0, :n, 0])
         assert (c2 >= c1 - 1e-6).all()
         assert c2.mean() > c1.mean() * 1.5
+
+
+class TestCompactFusionEquivalence:
+    """fusion_update_compact must produce the same map as the two-step
+    find_correspondences_dense + fuse_map_dense path."""
+
+    def test_matches_two_step(self, frame0, frame1):
+        from gradslam_tpu.slam.fusionutils import (
+            find_correspondences_dense,
+            fuse_map_dense,
+            fusion_update_compact,
+        )
+        from gradslam_tpu.structures.maparena import init_map
+
+        rgbd0 = frame0.to_channels_last()
+        rgbd1 = frame1.to_channels_last()
+        B, _, H, W = rgbd0.shape
+        cap = 3 * H * W
+
+        def frame_arrays(r):
+            return (
+                r.global_vertex_map[:, 0],
+                r.global_normal_map[:, 0],
+                r.vertex_map[:, 0],
+                r.rgb_image[:, 0],
+                r.valid_depth_mask[:, 0, ..., 0],
+            )
+
+        # seed map with frame 0 via the compact path
+        gv, gn, lv, rgb, vd = frame_arrays(rgbd0)
+        m = init_map(B, cap)
+        m = fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, rgbd0.poses[:, 0], rgbd0.intrinsics,
+            0.05, DOT_TH, 0.6, 4 * H * W,
+        )
+
+        gv, gn, lv, rgb, vd = frame_arrays(rgbd1)
+        pose1 = rgbd1.poses[:, 0]
+        # two-step reference path
+        corr = find_correspondences_dense(
+            m, gv, gn, pose1, rgbd1.intrinsics, 0.05, DOT_TH
+        )
+        m_ref = fuse_map_dense(m, corr, gv, gn, lv, rgb, vd, 0.6)
+        # compact path
+        m_fast = fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, pose1, rgbd1.intrinsics,
+            0.05, DOT_TH, 0.6, 4 * H * W,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_fast.num_points), np.asarray(m_ref.num_points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_fast.points), np.asarray(m_ref.points), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_fast.ccounts), np.asarray(m_ref.ccounts), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_fast.colors), np.asarray(m_ref.colors), atol=1e-6
+        )
