@@ -58,7 +58,7 @@ class SLAMOptions(NamedTuple):
     sigma: float = 0.6
     map_capacity: Optional[int] = None  # default: L*H*W
     tgt_capacity: Optional[int] = None  # odometry candidate buffer
-    active_capacity: Optional[int] = None  # fusion active-set buffer (4*H*W)
+    active_capacity: Optional[int] = None  # fusion active-set buffer (2*H*W)
     lambda_max: float = 2.0
     B: float = 1.0
     B2: float = 1.0
@@ -150,7 +150,7 @@ def _map_update(map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions):
             opts.dist_th,
             opts.dot_th,
             opts.sigma,
-            opts.active_capacity or 4 * H * W,
+            opts.active_capacity or 2 * H * W,
         )
     return aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
 
