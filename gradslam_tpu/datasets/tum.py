@@ -74,6 +74,7 @@ class TUM:
         return_transform: bool = True,
         return_names: bool = True,
         return_timestamps: bool = True,
+        use_native: Optional[bool] = None,
     ):
         basedir = Path(basedir)
         if not basedir.is_dir():
@@ -103,6 +104,11 @@ class TUM:
         self.return_transform = return_transform
         self.return_names = return_names
         self.return_timestamps = return_timestamps
+        if use_native is None:
+            from . import native_loader
+
+            use_native = native_loader.native_available()
+        self.use_native = use_native
 
         seq_names = self._resolve_sequences(basedir, sequences)
 
@@ -226,9 +232,41 @@ class TUM:
             )
         return (img / self._DEPTH_SCALE)[..., None]
 
+    def _load_frames(self, frames):
+        """Batch-loads colors (+depths) — native C++ threaded path when
+        available (datasets/native_loader.py), Python fallback otherwise."""
+        if self.use_native:
+            from . import native_loader
+
+            colors = native_loader.load_color_batch(
+                [f[1] for f in frames],
+                self.height,
+                self.width,
+                normalize=self.normalize_color,
+            )
+            depths = (
+                native_loader.load_depth_batch(
+                    [f[3] for f in frames],
+                    self.height,
+                    self.width,
+                    self._DEPTH_SCALE,
+                )
+                if self.return_depth
+                else None
+            )
+            if colors is not None:
+                return colors, depths
+        colors = np.stack([self._load_color(f[1]) for f in frames])
+        depths = (
+            np.stack([self._load_depth(f[3]) for f in frames])
+            if self.return_depth
+            else None
+        )
+        return colors, depths
+
     def __getitem__(self, idx):
         name, frames = self.samples[idx]
-        colors = np.stack([self._load_color(f[1]) for f in frames])
+        colors, depths = self._load_frames(frames)
         output = []
 
         if self.channels_first:
@@ -236,7 +274,6 @@ class TUM:
         output.append(colors)
 
         if self.return_depth:
-            depths = np.stack([self._load_depth(f[3]) for f in frames])
             if self.channels_first:
                 depths = datautils.channels_first(depths)
             output.append(depths)

@@ -270,3 +270,28 @@ class TestTumUtils:
         a = {1.0: ["a"]}
         b = {1.5: ["x"]}
         assert associate(a, b, 0.0, 0.02) == []
+
+
+class TestNativeLoader:
+    def test_native_matches_python_path(self, tum_dir):
+        from gradslam_tpu.datasets import native_loader
+
+        if not native_loader.native_available():
+            pytest.skip("native loader toolchain unavailable")
+        ds_py = TUM(str(tum_dir), seqlen=3, height=24, width=32, use_native=False)
+        ds_nat = TUM(str(tum_dir), seqlen=3, height=24, width=32, use_native=True)
+        cp, dp, *_ = ds_py[0]
+        cn, dn, *_ = ds_nat[0]
+        # same decode; resize implementations may differ by <=1 LSB
+        assert np.abs(cp - cn).max() <= 1.0
+        np.testing.assert_allclose(dp, dn, atol=1e-5)
+
+    def test_native_full_resolution_exact(self, tum_dir):
+        from gradslam_tpu.datasets import native_loader
+
+        if not native_loader.native_available():
+            pytest.skip("native loader toolchain unavailable")
+        ds_py = TUM(str(tum_dir), seqlen=2, height=48, width=64, use_native=False)
+        ds_nat = TUM(str(tum_dir), seqlen=2, height=48, width=64, use_native=True)
+        np.testing.assert_allclose(ds_py[0][0], ds_nat[0][0], atol=1e-5)
+        np.testing.assert_allclose(ds_py[0][1], ds_nat[0][1], atol=1e-6)
