@@ -1,0 +1,63 @@
+"""Real-TPU tests for the Pallas KNN kernel.
+
+Run with: GRADSLAM_TPU_TEST_REAL=1 python -m pytest tests/tpu -q
+(Skipped on CPU — the Pallas TPU kernel needs real hardware; the jnp
+fallback is covered by tests/odometry/test_knn.py.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("GRADSLAM_TPU_TEST_REAL"),
+    reason="needs real TPU (set GRADSLAM_TPU_TEST_REAL=1)",
+)
+
+
+@pytest.fixture(scope="module")
+def jnp():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+    import jax.numpy as jnp
+
+    return jnp
+
+
+class TestPallasKNN:
+    def test_matches_reference_exactly(self, jnp):
+        from gradslam_tpu.ops import knn, knn_reference
+
+        rng = np.random.RandomState(0)
+        src = jnp.asarray(rng.randn(2, 1200, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(2, 5000, 3).astype(np.float32))
+        valid = jnp.asarray(rng.rand(2, 5000) > 0.3)
+        d_ref, i_ref = knn_reference(src, tgt, valid)
+        d_pal, i_pal = knn(src, tgt, valid, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+        np.testing.assert_allclose(
+            np.asarray(d_pal), np.asarray(d_ref), atol=1e-5
+        )
+
+    def test_unpadded_tile_sizes(self, jnp):
+        from gradslam_tpu.ops import knn, knn_reference
+
+        rng = np.random.RandomState(1)
+        # sizes that require padding to tile multiples
+        src = jnp.asarray(rng.randn(1, 321, 3).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(1, 777, 3).astype(np.float32))
+        d_ref, i_ref = knn_reference(src, tgt)
+        d_pal, i_pal = knn(src, tgt, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+    def test_all_invalid_targets(self, jnp):
+        from gradslam_tpu.ops import knn
+
+        src = jnp.zeros((1, 100, 3))
+        tgt = jnp.ones((1, 200, 3))
+        valid = jnp.zeros((1, 200), dtype=bool)
+        d, i = knn(src, tgt, valid, use_pallas=True)
+        assert bool(jnp.all(jnp.isinf(d)))
