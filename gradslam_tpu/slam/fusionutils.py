@@ -340,30 +340,50 @@ def fusion_update_compact(
         & are_normals_similar(fn, mn, dot_th)
     )
 
-    # unique winner per pixel (same lexicographic tie-break as the
-    # reference's torch.unique sort: max ccount, min ray dist, min index)
-    pix_seg = jnp.where(gated, pixa, HW)
+    # Unique winner per pixel — same lexicographic tie-break as the
+    # reference's torch.unique row sort (max ccount, min ray dist, min
+    # index), implemented as ONE multi-key lax.sort over the active set
+    # instead of three segment scatter/gather rounds: rows sort by
+    # (pixel, -ccount, raydist, slot); the first row of each pixel group
+    # is the winner.
+    pix_seg = jnp.where(gated, pixa, HW).astype(jnp.int32)
     cc1 = mcc[..., 0]
     ray = jnp.sum((mp - fp) ** 2, axis=-1)
     slot = idxb  # original arena index for deterministic tie-break
 
-    def per_batch(pix_b, cc_b, rd_b, gated_b, slot_b):
-        seg_cc = jax.ops.segment_max(
-            jnp.where(gated_b, cc_b, -jnp.inf), pix_b, num_segments=HW + 1
+    sorted_ops = jax.vmap(
+        lambda p, c, r, s, rowix: jax.lax.sort(
+            (p, -c, r, s, rowix), num_keys=4
         )
-        cand1 = gated_b & (cc_b == seg_cc[pix_b])
-        seg_rd = jax.ops.segment_min(
-            jnp.where(cand1, rd_b, jnp.inf), pix_b, num_segments=HW + 1
-        )
-        cand2 = cand1 & (rd_b == seg_rd[pix_b])
-        seg_ix = jax.ops.segment_min(
-            jnp.where(cand2, slot_b, CAP), pix_b, num_segments=HW + 1
-        )
-        winner_b = cand2 & (slot_b == seg_ix[pix_b])
-        pix_corr_b = seg_ix[:HW] < CAP
-        return winner_b, pix_corr_b
-
-    winner, pix_corr = jax.vmap(per_batch)(pix_seg, cc1, ray, gated, slot)
+    )(
+        pix_seg,
+        cc1,
+        ray,
+        slot,
+        jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (B, A)),
+    )
+    pix_sorted, _, _, _, row_sorted = sorted_ops
+    first = jnp.concatenate(
+        [
+            jnp.ones((B, 1), dtype=bool),
+            pix_sorted[:, 1:] != pix_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    winner_sorted = first & (pix_sorted < HW)
+    # winner mask in original row order (one small scatter over A)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, A))
+    winner = (
+        jnp.zeros((B, A), dtype=bool)
+        .at[b_idx, row_sorted]
+        .set(winner_sorted)
+    )
+    # pixels with a correspondence (scatter winner pixels into HW+1 grid)
+    pix_corr = (
+        jnp.zeros((B, HW + 1), dtype=bool)
+        .at[b_idx, jnp.where(winner_sorted, pix_sorted, HW)]
+        .set(True, mode="drop")
+    )[:, :HW]
 
     # confidence-weighted merge on the compacted rows
     win = winner[..., None]
@@ -377,20 +397,27 @@ def fusion_update_compact(
         cc_new,
     )  # (B, A, 12)
 
-    # single packed scatter writes winners back (non-winners dropped)
-    slots = jnp.where(winner, idxb, CAP)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, A))
-    state = MapState(
-        data=map_state.data.at[b_idx, slots].set(merged, mode="drop"),
-        num_points=map_state.num_points,
-    )
-
-    # append non-corresponded valid pixels (one packed scatter)
+    # ONE combined scatter: winner merges write to their arena slots,
+    # non-corresponded valid pixels append after the live region (their
+    # slots are disjoint by construction).
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr
     frame_rows = jnp.concatenate(
         [frame_attr, jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)], -1
     )
-    return append_rows_to_map(state, frame_rows, new_mask)
+    merge_slots = jnp.where(winner, idxb, CAP)
+    app_offsets = jnp.cumsum(new_mask.astype(jnp.int32), axis=1) - 1
+    app_slots = map_state.num_points[:, None] + app_offsets
+    app_slots = jnp.where(new_mask & (app_slots < CAP), app_slots, CAP)
+
+    all_slots = jnp.concatenate([merge_slots, app_slots], axis=1)
+    all_rows = jnp.concatenate([merged, frame_rows], axis=1)
+    b_all = jnp.broadcast_to(jnp.arange(B)[:, None], all_slots.shape)
+    data = map_state.data.at[b_all, all_slots].set(all_rows, mode="drop")
+    n_added = jnp.sum(new_mask.astype(jnp.int32), axis=1)
+    return MapState(
+        data=data,
+        num_points=jnp.minimum(map_state.num_points + n_added, CAP),
+    )
 
 
 def aggregate_map_dense(
