@@ -291,6 +291,7 @@ class ICPSLAM:
                 f"odometry method {odom!r} not in ('gt', 'icp', 'gradicp')"
             )
         self.odom = odom
+        self._jit_step = None
         self.opts = SLAMOptions(
             odom=odom,
             dsratio=dsratio,
@@ -349,6 +350,16 @@ class ICPSLAM:
         rgbd = live_frame.to_channels_last()
         rgb = rgbd.rgb_image[:, 0]
         depth = rgbd.depth_image[:, 0]
+        if self._jit_step is None:
+            opts = self.opts
+            self._jit_step = {
+                "map": jax.jit(
+                    lambda m, p, r, d, k: _map_update(m, p, r, d, k, opts)
+                ),
+                "slam": jax.jit(
+                    lambda m, p, r, d, k: slam_step(m, p, r, d, k, opts)
+                ),
+            }
         if prev_pose is None or self.odom == "gt":
             if not rgbd.has_poses:
                 raise ValueError(
@@ -356,12 +367,12 @@ class ICPSLAM:
                     "odometry"
                 )
             pose = rgbd.poses[:, 0]
-            new_map = _map_update(
-                map_state, pose, rgb, depth, rgbd.intrinsics, self.opts
+            new_map = self._jit_step["map"](
+                map_state, pose, rgb, depth, rgbd.intrinsics
             )
             return new_map, pose
-        return slam_step(
-            map_state, prev_pose, rgb, depth, rgbd.intrinsics, self.opts
+        return self._jit_step["slam"](
+            map_state, prev_pose, rgb, depth, rgbd.intrinsics
         )
 
     def __repr__(self):

@@ -397,3 +397,23 @@ class RGBDImages:
             f"RGBDImages(shape={self.shape}, has_poses={self.has_poses}, "
             f"channels_first={self.channels_first})"
         )
+
+    # -- pytree protocol (jit/vmap/scan-compatible) ---------------------
+    def _tree_flatten(self):
+        children = (self._rgb, self._depth, self._intrinsics, self._poses)
+        return children, self.channels_first
+
+    @classmethod
+    def _tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._rgb, obj._depth, obj._intrinsics, obj._poses = children
+        obj.channels_first = aux
+        obj._cache = {}
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    RGBDImages,
+    lambda x: x._tree_flatten(),
+    RGBDImages._tree_unflatten,
+)
