@@ -10,6 +10,7 @@ from .pointclouds import Pointclouds
 from .maparena import (
     MapState,
     append_to_map,
+    compact_map,
     init_map,
     map_mask,
     map_to_pointclouds,
@@ -24,6 +25,7 @@ __all__ = [
     "init_map",
     "map_mask",
     "append_to_map",
+    "compact_map",
     "map_to_pointclouds",
     "pointclouds_from_rgbdimages",
     "list_to_padded",

@@ -137,6 +137,39 @@ def append_to_map(
     return append_rows_to_map(state, rows, new_mask)
 
 
+def compact_map(
+    state: MapState,
+    min_ccount: float = 0.0,
+    keep_recent: int = 0,
+) -> MapState:
+    """Defragments the arena, evicting low-confidence points.
+
+    Keeps points with ``ccounts >= min_ccount`` plus the ``keep_recent``
+    most recently appended points (which have not yet had a chance to
+    accumulate confidence), compacted to the front of the arena. This is
+    the overflow policy for long runs: call periodically (host level, or
+    on a capacity watermark) to reclaim slots from unstable points —
+    the fixed-capacity analogue of PointFusion's unstable-point removal
+    (Keller et al. 2013 §4.3).
+
+    Pure and jittable; order of surviving points is preserved.
+    """
+    cap = state.capacity
+    live = map_mask(state)
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    recent = idx >= (state.num_points[:, None] - keep_recent)
+    keep = live & ((state.ccounts[..., 0] >= min_ccount) | recent)
+
+    from ..ops.masking import compact_masked
+
+    take_idx, valid = compact_masked(keep, cap)
+    data = jnp.take_along_axis(state.data, take_idx[..., None], axis=1)
+    data = data * valid[..., None].astype(data.dtype)
+    return MapState(
+        data=data, num_points=jnp.sum(keep, axis=1).astype(jnp.int32)
+    )
+
+
 def map_to_pointclouds(state: MapState):
     """Converts the arena into a user-facing :class:`Pointclouds`."""
     from .pointclouds import Pointclouds

@@ -78,3 +78,44 @@ class TestMapArena:
 
         g = jax.grad(f)(jnp.ones((1, 4, 3)))
         np.testing.assert_allclose(np.asarray(g), 2.0)
+
+
+class TestCompactMap:
+    def test_evicts_low_confidence(self):
+        from gradslam_tpu.structures import compact_map
+
+        m = init_map(1, 20)
+        pts = jnp.arange(18).reshape(1, 6, 3).astype(jnp.float32)
+        cc = jnp.asarray([[0.1], [2.0], [0.2], [3.0], [0.1], [5.0]])[None]
+        m = append_to_map(m, pts, pts, pts, cc, jnp.ones((1, 6), bool))
+        m2 = compact_map(m, min_ccount=1.0)
+        np.testing.assert_array_equal(np.asarray(m2.num_points), [3])
+        # survivors in original order: rows 1, 3, 5
+        np.testing.assert_allclose(
+            np.asarray(m2.points[0, :3]), np.asarray(pts[0, [1, 3, 5]])
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.ccounts[0, :3, 0]), [2.0, 3.0, 5.0]
+        )
+        # freed slots are zeroed
+        assert (np.asarray(m2.data[0, 3:]) == 0).all()
+
+    def test_keep_recent_protects_new_points(self):
+        from gradslam_tpu.structures import compact_map
+
+        m = init_map(1, 10)
+        pts = jnp.ones((1, 4, 3))
+        cc = jnp.full((1, 4, 1), 0.1)  # all low confidence
+        m = append_to_map(m, pts, pts, pts, cc, jnp.ones((1, 4), bool))
+        m2 = compact_map(m, min_ccount=1.0, keep_recent=2)
+        np.testing.assert_array_equal(np.asarray(m2.num_points), [2])
+
+    def test_jittable(self):
+        from gradslam_tpu.structures import compact_map
+
+        m = init_map(2, 16)
+        pts = jnp.ones((2, 8, 3))
+        cc = jnp.ones((2, 8, 1))
+        m = append_to_map(m, pts, pts, pts, cc, jnp.ones((2, 8), bool))
+        m2 = jax.jit(lambda s: compact_map(s, min_ccount=0.5))(m)
+        np.testing.assert_array_equal(np.asarray(m2.num_points), [8, 8])
