@@ -397,27 +397,17 @@ def fusion_update_compact(
         cc_new,
     )  # (B, A, 12)
 
-    # ONE combined scatter: winner merges write to their arena slots,
-    # non-corresponded valid pixels append after the live region (their
-    # slots are disjoint by construction).
+    # winner merges write back with one scatter (random destinations);
+    # appends go through the contiguous fast path in append_rows_to_map.
+    merge_slots = jnp.where(winner, idxb, CAP)
+    data = map_state.data.at[b_idx, merge_slots].set(merged, mode="drop")
+    state = MapState(data=data, num_points=map_state.num_points)
+
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr
     frame_rows = jnp.concatenate(
         [frame_attr, jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)], -1
     )
-    merge_slots = jnp.where(winner, idxb, CAP)
-    app_offsets = jnp.cumsum(new_mask.astype(jnp.int32), axis=1) - 1
-    app_slots = map_state.num_points[:, None] + app_offsets
-    app_slots = jnp.where(new_mask & (app_slots < CAP), app_slots, CAP)
-
-    all_slots = jnp.concatenate([merge_slots, app_slots], axis=1)
-    all_rows = jnp.concatenate([merged, frame_rows], axis=1)
-    b_all = jnp.broadcast_to(jnp.arange(B)[:, None], all_slots.shape)
-    data = map_state.data.at[b_all, all_slots].set(all_rows, mode="drop")
-    n_added = jnp.sum(new_mask.astype(jnp.int32), axis=1)
-    return MapState(
-        data=data,
-        num_points=jnp.minimum(map_state.num_points + n_added, CAP),
-    )
+    return append_rows_to_map(state, frame_rows, new_mask)
 
 
 def aggregate_map_dense(

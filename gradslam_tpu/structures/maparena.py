@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["MapState", "init_map", "map_mask", "append_to_map", "map_to_pointclouds"]
@@ -102,22 +103,68 @@ def append_rows_to_map(
 ) -> MapState:
     """Appends packed (B, M, 12) candidate rows under a (B, M) mask.
 
-    Each selected row lands at slot ``num_points + (cumsum(mask) - 1)``;
-    rows beyond capacity are dropped (XLA scatter ``mode=drop``).
+    Selected rows land in order at slots ``num_points + cumsum(mask) - 1``;
+    rows beyond capacity are dropped.
+
+    Appends target a CONTIGUOUS destination range, so instead of an
+    expensive random scatter (TPU scatter costs ~0.1us per row) this
+    compacts the selected rows to the front with one gather, then writes a
+    single dynamic-slice window at the live-count offset — bandwidth-speed
+    instead of row-at-a-time.
     """
     B, M = new_mask.shape
     cap = state.capacity
     mask_i = new_mask.astype(jnp.int32)
-    offsets = jnp.cumsum(mask_i, axis=1) - 1  # (B, M)
-    slots = state.num_points[:, None] + offsets
-    slots = jnp.where(new_mask, slots, cap)
-    slots = jnp.where(slots < cap, slots, cap)  # overflow -> drop
+    n_added = jnp.sum(mask_i, axis=1)  # (B,)
 
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
-    data = state.data.at[b_idx, slots].set(new_rows, mode="drop")
-    n_added = jnp.sum(mask_i, axis=1)
-    new_count = jnp.minimum(state.num_points + n_added, cap)
-    return MapState(data=data, num_points=new_count)
+    if cap < M:
+        # tiny arena fallback: plain scatter
+        offsets = jnp.cumsum(mask_i, axis=1) - 1
+        slots = state.num_points[:, None] + offsets
+        slots = jnp.where(new_mask & (slots < cap), slots, cap)
+        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+        data = state.data.at[b_idx, slots].set(new_rows, mode="drop")
+        return MapState(
+            data=data,
+            num_points=jnp.minimum(state.num_points + n_added, cap),
+        )
+
+    # compacted source index per candidate slot (stable order)
+    pos = jnp.cumsum(mask_i, axis=1) - 1  # (B, M)
+    src_of_pos = (
+        jnp.zeros((B, M), jnp.int32)
+        .at[
+            jnp.broadcast_to(jnp.arange(B)[:, None], (B, M)),
+            jnp.where(new_mask, pos, M),
+        ]
+        .set(
+            jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M)),
+            mode="drop",
+        )
+    )
+
+    # window start: clamp so the M-row window fits; `off` is where inside
+    # the window the append begins (non-zero only near overflow)
+    start = jnp.clip(state.num_points, 0, cap - M)  # (B,)
+    off = state.num_points - start  # (B,)
+
+    def upd(data_b, rows_b, src_b, start_b, off_b, n_b):
+        r = jnp.arange(M, dtype=jnp.int32)
+        gather_idx = src_b[jnp.clip(r - off_b, 0, M - 1)]
+        rows_c = rows_b[gather_idx]  # (M, C) one row gather
+        window = jax.lax.dynamic_slice(
+            data_b, (start_b, 0), (M, data_b.shape[1])
+        )
+        sel = (r >= off_b) & (r < off_b + n_b)
+        new_win = jnp.where(sel[:, None], rows_c, window)
+        return jax.lax.dynamic_update_slice(data_b, new_win, (start_b, 0))
+
+    data = jax.vmap(upd)(
+        state.data, new_rows, src_of_pos, start, off, n_added
+    )
+    return MapState(
+        data=data, num_points=jnp.minimum(state.num_points + n_added, cap)
+    )
 
 
 def append_to_map(
