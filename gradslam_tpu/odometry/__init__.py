@@ -8,6 +8,7 @@ from .icputils import (
     downsample_rgbdimages,
     frame_points_from_maps,
     gauss_newton_solve,
+    huber_weights,
     point_to_plane_ICP,
     point_to_plane_gradICP,
     solve_linear_system,
@@ -21,6 +22,7 @@ __all__ = [
     "FramePoints",
     "solve_linear_system",
     "gauss_newton_solve",
+    "huber_weights",
     "point_to_plane_ICP",
     "point_to_plane_gradICP",
     "downsample_pointclouds",

@@ -30,6 +30,7 @@ from ..ops.knn import knn
 __all__ = [
     "solve_linear_system",
     "gauss_newton_solve",
+    "huber_weights",
     "point_to_plane_ICP",
     "point_to_plane_gradICP",
     "downsample_pointclouds",
@@ -83,6 +84,18 @@ def solve_linear_system(
     return jnp.linalg.solve(AtA, Atb)
 
 
+def huber_weights(residuals: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weights for the Huber robust loss: ``min(1, delta / |r|)``.
+
+    Net-new robustness option (beyond the reference's plain least squares):
+    down-weights association outliers so single bad correspondences cannot
+    dominate the 6x6 normal equations. Differentiable everywhere except
+    |r| = delta (subgradient), which is fine for gradLM.
+    """
+    abs_r = jnp.abs(residuals)
+    return jnp.minimum(1.0, delta / jnp.maximum(abs_r, 1e-12))
+
+
 def gauss_newton_solve(
     src_pc: jnp.ndarray,
     tgt_pc: jnp.ndarray,
@@ -90,6 +103,7 @@ def gauss_newton_solve(
     dist_thresh: Optional[float] = None,
     src_valid: Optional[jnp.ndarray] = None,
     tgt_valid: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
 ):
     """One Gauss-Newton linearization of point-to-plane ICP (batched).
 
@@ -107,10 +121,13 @@ def gauss_newton_solve(
         dist_thresh: optional squared-distance gate.
         src_valid: optional (B, S) source validity.
         tgt_valid: optional (B, T) target validity.
+        robust_delta: optional Huber threshold on the point-to-plane
+            residual; scales row weights by ``min(1, delta/|b|)``.
 
     Returns:
         (A, b, weights, chamfer_idx): (B, S, 6), (B, S, 1), (B, S) float
-        weights in {0, 1}, and (B, S) int32 association indices.
+        weights (binary gates times optional Huber factors), and (B, S)
+        int32 association indices.
     """
     dists, idx = knn(src_pc, tgt_pc, tgt_valid)
 
@@ -141,13 +158,19 @@ def gauss_newton_solve(
         axis=-1,
     )
     b = jnp.sum(assoc_n * (assoc_pts - s), axis=-1, keepdims=True)
+    if robust_delta is not None:
+        w = w * huber_weights(b[..., 0], robust_delta)
     return A, b, w, idx
 
 
-def _icp_common_step(src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp):
+def _icp_common_step(
+    src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp,
+    robust_delta=None,
+):
     """Shared per-iteration work: linearize, solve, lookahead error."""
     A, b, w, _ = gauss_newton_solve(
-        src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid
+        src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
+        robust_delta,
     )
     xi = solve_linear_system(A, b, damp, weights=w)[..., 0]  # (B, 6)
     residual_transform = se3_exp(xi)
@@ -155,7 +178,8 @@ def _icp_common_step(src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_va
 
     one_step_pc = transform_pointcloud(src_pc, residual_transform)
     _, b1, w1, _ = gauss_newton_solve(
-        one_step_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid
+        one_step_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
+        robust_delta,
     )
     new_err = jnp.sum(w1 * b1[..., 0] ** 2, axis=-1)
     return xi, residual_transform, one_step_pc, err, new_err
@@ -171,6 +195,7 @@ def point_to_plane_ICP(
     dist_thresh: Optional[float] = None,
     src_valid: Optional[jnp.ndarray] = None,
     tgt_valid: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
 ):
     """Classic point-to-plane ICP with an LM trust region (batched).
 
@@ -196,7 +221,8 @@ def point_to_plane_ICP(
     def body(_, state):
         src, transform, damp_v = state
         xi, rt, one_step, err, new_err = _icp_common_step(
-            src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp_v
+            src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
+            damp_v, robust_delta,
         )
         accept = (new_err < err)[:, None]  # (B, 1)
         src = jnp.where(accept[..., None], one_step, src)
@@ -226,6 +252,7 @@ def point_to_plane_gradICP(
     nu: float = 200.0,
     src_valid: Optional[jnp.ndarray] = None,
     tgt_valid: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
 ):
     """GradLM point-to-plane ICP — the gradSLAM paper's smooth LM (batched).
 
@@ -250,7 +277,8 @@ def point_to_plane_gradICP(
     def body(_, state):
         src, transform, damp_v = state
         xi, _, _, err, new_err = _icp_common_step(
-            src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp_v
+            src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
+            damp_v, robust_delta,
         )
         errdiff = jnp.clip(new_err - err, -70.0, 70.0)  # (nbatch,)
         damp_new = lambda_min + (lambda_max - lambda_min) / (

@@ -52,6 +52,7 @@ class SLAMOptions(NamedTuple):
     numiters: int = 20
     damp: float = 1e-8
     dist_thresh: Optional[float] = None  # odometry association gate (sq dist)
+    robust_delta: Optional[float] = None  # Huber threshold on ICP residuals
     fusion: bool = False  # False -> aggregate mapping (ICPSLAM)
     dist_th: float = 0.05  # fusion distance threshold
     dot_th: float = 0.93969262  # fusion normal-dot threshold (cos 20 deg)
@@ -108,6 +109,7 @@ def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
         numiters=opts.numiters,
         damp=opts.damp,
         dist_thresh=opts.dist_thresh,
+        robust_delta=opts.robust_delta,
         src_valid=src_valid.astype(src.dtype),
         tgt_valid=tgt_valid,
     )

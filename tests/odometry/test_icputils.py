@@ -152,3 +152,40 @@ class TestSyntheticRecovery:
         nrm2 = jnp.concatenate([tgt_nrm, tgt_nrm])
         T = point_to_plane_gradICP(src2, tgt2, nrm2, numiters=10)
         np.testing.assert_allclose(np.asarray(T[0]), np.asarray(T[1]), atol=1e-6)
+
+
+class TestRobustWeights:
+    def test_huber_downweights_outliers(self):
+        from gradslam_tpu.odometry import huber_weights
+
+        r = jnp.asarray([0.01, 0.05, 0.5, 5.0])
+        w = np.asarray(huber_weights(r, delta=0.1))
+        np.testing.assert_allclose(w[:2], 1.0)
+        np.testing.assert_allclose(w[2], 0.2, rtol=1e-5)
+        np.testing.assert_allclose(w[3], 0.02, rtol=1e-5)
+
+    def test_robust_icp_resists_outliers(self, msrd_data):
+        """With a corrupted target region, robust gradICP recovers the
+        transform better than plain least squares."""
+        src, nrm = golden_cloud(msrd_data, stride=11)
+        T_true = _known_transform()
+        tgt = transform_pointcloud(src, T_true[None])
+        from gradslam_tpu.geometry import transform_normals
+
+        tgt_nrm = transform_normals(nrm, T_true[None])
+        # corrupt 10% of target points
+        n = tgt.shape[1]
+        k = n // 10
+        tgt_bad = tgt.at[:, :k].add(0.5)
+
+        T_plain = point_to_plane_gradICP(
+            src, tgt_bad, tgt_nrm, numiters=20, dist_thresh=0.2
+        )
+        T_robust = point_to_plane_gradICP(
+            src, tgt_bad, tgt_nrm, numiters=20, dist_thresh=0.2,
+            robust_delta=0.02,
+        )
+        err_plain = float(jnp.abs(T_plain[0] - T_true).max())
+        err_robust = float(jnp.abs(T_robust[0] - T_true).max())
+        assert err_robust < err_plain
+        assert err_robust < 0.03
