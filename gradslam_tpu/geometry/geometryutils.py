@@ -24,6 +24,8 @@ __all__ = [
     "relative_transformation",
     "transform_pointcloud",
     "transform_normals",
+    "cam2pixel",
+    "pixel2cam",
 ]
 
 
@@ -163,6 +165,45 @@ def relative_transformation(
     else:
         inv = jnp.linalg.inv(trans_01)
     return jnp.matmul(inv, trans_02)
+
+
+def cam2pixel(
+    cam_coords_src: jnp.ndarray,
+    dst_proj_src: jnp.ndarray,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Transforms camera-frame coordinates to pixel coordinates.
+
+    Legacy helper (reference geometryutils.py:611): applies a (4, 4)
+    projection to (..., H, W, 3) camera coordinates and perspective-divides.
+    """
+    if cam_coords_src.shape[-1] != 3:
+        raise ValueError(
+            f"cam_coords_src must be (..., 3), got {cam_coords_src.shape}"
+        )
+    pts = homogenize_points(cam_coords_src)
+    projected = jnp.einsum("ij,...j->...i", dst_proj_src, pts)
+    z = projected[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) > eps, z, jnp.ones_like(z))
+    return projected[..., :2] / z_safe
+
+
+def pixel2cam(
+    depth: jnp.ndarray,
+    intrinsics_inv: jnp.ndarray,
+    pixel_coords: jnp.ndarray,
+) -> jnp.ndarray:
+    """Transforms pixel coordinates + depth into camera-frame points.
+
+    Legacy helper (reference geometryutils.py:671): ``depth * Kinv @ p``
+    for homogeneous (..., H, W, 3) pixel coords.
+    """
+    kinv = jnp.asarray(intrinsics_inv)[..., :3, :3].reshape(3, 3)
+    rays = jnp.einsum("ij,...j->...i", kinv, pixel_coords)
+    depth = jnp.asarray(depth)
+    if depth.ndim == rays.ndim - 1:
+        depth = depth[..., None]
+    return rays * depth
 
 
 def transform_pointcloud(pointcloud: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:

@@ -202,35 +202,44 @@ class Pointclouds:
     def features_padded(self):
         return self._features
 
+    def _assert_set_padded(self, value, expect_dim=None):
+        """Validates a padded-attribute assignment: shape match and zeroed
+        padding (reference pointclouds.py:1385-1427). The padding check is
+        a host-side assertion and is skipped for traced values."""
+        value = jnp.asarray(value)
+        if value.ndim != 3 or value.shape[:2] != self._points.shape[:2]:
+            raise ValueError(
+                f"padded value must be ({self._points.shape[0]}, "
+                f"{self._points.shape[1]}, C), got {value.shape}"
+            )
+        if expect_dim is not None and value.shape[2] != expect_dim:
+            raise ValueError(
+                f"expected last dim {expect_dim}, got {value.shape[2]}"
+            )
+        if isinstance(value, jax.core.Tracer):
+            return value
+        pad = np.asarray(value)[~np.asarray(self.nonpad_mask)]
+        if pad.size and not (pad == 0).all():
+            raise ValueError(
+                "padded values must be zero outside nonpad_mask"
+            )
+        return value
+
     @points_padded.setter
     def points_padded(self, value):
-        value = jnp.asarray(value)
-        if value.shape != self._points.shape:
-            raise ValueError(
-                f"shape mismatch: {value.shape} vs {self._points.shape}"
-            )
-        self._points = value
+        self._points = self._assert_set_padded(value, 3)
 
     @normals_padded.setter
     def normals_padded(self, value):
-        value = jnp.asarray(value)
-        if self._normals is not None and value.shape != self._normals.shape:
-            raise ValueError("shape mismatch")
-        self._normals = value
+        self._normals = self._assert_set_padded(value, 3)
 
     @colors_padded.setter
     def colors_padded(self, value):
-        value = jnp.asarray(value)
-        if self._colors is not None and value.shape != self._colors.shape:
-            raise ValueError("shape mismatch")
-        self._colors = value
+        self._colors = self._assert_set_padded(value, 3)
 
     @features_padded.setter
     def features_padded(self, value):
-        value = jnp.asarray(value)
-        if self._features is not None and value.shape != self._features.shape:
-            raise ValueError("shape mismatch")
-        self._features = value
+        self._features = self._assert_set_padded(value)
 
     # -- list accessors (host boundary) ----------------------------------
     def _to_list(self, padded):

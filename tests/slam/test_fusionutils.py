@@ -85,7 +85,10 @@ class TestReprojectionInvariant:
     def test_correspondences_reproduce_colors(self, frame0):
         pc = pointclouds_from_rgbdimages(frame0)
         # ccounts needed by unique-correspondence stage
-        pc.features_padded = jnp.ones(pc.points_padded.shape[:2] + (1,))
+        pc.features_padded = (
+            jnp.ones(pc.points_padded.shape[:2] + (1,))
+            * pc.nonpad_mask[..., None]
+        )
         table = np.asarray(
             find_correspondences(pc, frame0, dist_th=0.05, dot_th=DOT_TH)
         )
@@ -97,7 +100,10 @@ class TestReprojectionInvariant:
 
     def test_dense_matches_table_winner_count(self, frame0):
         pc = pointclouds_from_rgbdimages(frame0)
-        pc.features_padded = jnp.ones(pc.points_padded.shape[:2] + (1,))
+        pc.features_padded = (
+            jnp.ones(pc.points_padded.shape[:2] + (1,))
+            * pc.nonpad_mask[..., None]
+        )
         table = np.asarray(
             find_correspondences(pc, frame0, dist_th=0.05, dot_th=DOT_TH)
         )
