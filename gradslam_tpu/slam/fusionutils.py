@@ -101,21 +101,16 @@ class DenseCorrespondence(NamedTuple):
     pix_corr: jnp.ndarray
 
 
-def project_map_to_frame(
-    map_state: MapState, pose: jnp.ndarray, intrinsics: jnp.ndarray, H: int, W: int
-):
-    """Projects live map points into the camera at ``pose``.
+def _project_points_to_frame(points, live, pose, intrinsics, H, W):
+    """Core projection: (B, N, 3) points -> pixel rows/cols + active mask.
 
-    Equivalent of the reference's ``find_active_map_points`` projection
-    stage (fusionutils.py:249-282): transform by ``pose^-1``, keep points
-    with z > 0, pinhole-project, bounds-test with the reference's exact
-    guards (``-1e-3 < u < W - 0.999``), round-and-clamp to pixel indices.
-
-    Returns:
-        (h, w, active): (B, CAP) int32 pixel rows/cols and bool active mask.
+    The reference's ``find_active_map_points`` projection stage
+    (fusionutils.py:249-282): transform by ``pose^-1``, keep points with
+    z > 0, pinhole-project, bounds-test with the reference's exact guards
+    (``-1e-3 < u < W - 0.999``), round-and-clamp to pixel indices.
     """
     tinv = inverse_transformation(pose)  # (B, 4, 4)
-    pts_cam = transform_pointcloud(map_state.points, tinv)  # (B, CAP, 3)
+    pts_cam = transform_pointcloud(points, tinv)  # (B, N, 3)
     z = pts_cam[..., 2]
     K = intrinsics[:, 0] if intrinsics.ndim == 4 else intrinsics
     fx = K[..., 0, 0][:, None]
@@ -131,11 +126,127 @@ def project_map_to_frame(
         & (v > -1e-3)
         & (v < H - 0.999)
         & (z > 0)
-        & map_mask(map_state)
+        & live
     )
     h = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
     w = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
     return h, w, active
+
+
+def project_map_to_frame(
+    map_state: MapState, pose: jnp.ndarray, intrinsics: jnp.ndarray, H: int, W: int
+):
+    """Projects live map points into the camera at ``pose``.
+
+    Returns:
+        (h, w, active): (B, CAP) int32 pixel rows/cols and bool active mask.
+    """
+    return _project_points_to_frame(
+        map_state.points, map_mask(map_state), pose, intrinsics, H, W
+    )
+
+
+def visible_subarena(
+    map_state: MapState,
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+    block_size: int,
+    visible_capacity: int,
+):
+    """Block-gated view of the arena: only blocks whose bounding sphere can
+    project into the frame.
+
+    Spatial-partition acceleration for large maps: the arena is treated as
+    NB = CAP/block_size contiguous blocks. Per frame: (1) compute block
+    centroids/radii (one cheap bandwidth-bound pass over the arena),
+    (2) conservatively frustum-test each sphere, (3) gather the visible
+    blocks' rows (contiguous block gathers — fast) into a sub-arena of at
+    most ``visible_capacity`` blocks. Downstream association then costs
+    O(visible) instead of O(CAP).
+
+    Returns:
+        (sub_data (B, V*BLK, 12), sub_slots (B, V*BLK) int32 arena slots,
+        sub_live (B, V*BLK) bool).
+    """
+    B = map_state.data.shape[0]
+    CAP = map_state.capacity
+    BLK = block_size
+    NB = -(-CAP // BLK)  # ceil; trailing partial block padded below
+    V = visible_capacity
+
+    from ..ops.masking import compact_masked
+
+    live = map_mask(map_state)  # (B, CAP)
+    data_full = map_state.data
+    pad = NB * BLK - CAP
+    if pad:
+        data_full = jnp.pad(data_full, ((0, 0), (0, pad), (0, 0)))
+        live = jnp.pad(live, ((0, 0), (0, pad)))
+    pts = data_full[..., 0:3].reshape(B, NB, BLK, 3)
+    lv = live.reshape(B, NB, BLK, 1).astype(pts.dtype)
+    n_in_block = jnp.maximum(lv.sum(axis=2), 1.0)  # (B, NB, 1)
+    centroid = (pts * lv).sum(axis=2) / n_in_block  # (B, NB, 3)
+    radius = jnp.sqrt(
+        jnp.max(
+            jnp.sum((pts - centroid[:, :, None]) ** 2, -1)
+            * lv[..., 0]
+            + (1.0 - lv[..., 0]) * 0.0,
+            axis=2,
+        )
+    )  # (B, NB)
+    block_live = live.reshape(B, NB, BLK).any(axis=2)
+
+    # conservative sphere-vs-frustum test in camera space
+    tinv = inverse_transformation(pose)
+    c_cam = transform_pointcloud(centroid, tinv)  # (B, NB, 3)
+    z = c_cam[..., 2]
+    K = intrinsics[:, 0] if intrinsics.ndim == 4 else intrinsics
+    fx = jnp.abs(K[..., 0, 0])[:, None]
+    fy = jnp.abs(K[..., 1, 1])[:, None]
+    cx = K[..., 0, 2][:, None]
+    cy = K[..., 1, 2][:, None]
+    # sphere crossing/behind the image plane -> conservatively visible
+    near = z - radius <= 1e-3
+    z_safe = jnp.maximum(z - radius, 1e-3)
+    u = (c_cam[..., 0] * K[..., 0, 0][:, None] + z * cx) / jnp.where(
+        z != 0, z, 1.0
+    )
+    v = (c_cam[..., 1] * K[..., 1, 1][:, None] + z * cy) / jnp.where(
+        z != 0, z, 1.0
+    )
+    mu = radius * fx / z_safe
+    mv = radius * fy / z_safe
+    in_view = (
+        (u + mu > -1.0)
+        & (u - mu < W + 1.0)
+        & (v + mv > -1.0)
+        & (v - mv < H + 1.0)
+        & (z + radius > 0)
+    )
+    visible = block_live & (in_view | near)
+
+    blk_idx, blk_valid = compact_masked(visible, V)  # (B, V)
+
+    # contiguous block gathers
+    data_blk = data_full.reshape(B, NB, BLK, -1)
+    sub = jnp.take_along_axis(
+        data_blk, blk_idx[:, :, None, None], axis=1
+    )  # (B, V, BLK, 12)
+    sub_data = sub.reshape(B, V * BLK, data_blk.shape[-1])
+    sub_slots = (
+        blk_idx[:, :, None] * BLK
+        + jnp.arange(BLK, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, V * BLK)
+    live_blk = live.reshape(B, NB, BLK)
+    sub_live = jnp.take_along_axis(
+        live_blk, blk_idx[:, :, None], axis=1
+    ).reshape(B, V * BLK)
+    sub_live = sub_live & blk_valid[:, :, None].repeat(BLK, axis=2).reshape(
+        B, V * BLK
+    )
+    return sub_data, sub_slots, sub_live
 
 
 def _gather_pixels(img: jnp.ndarray, h: jnp.ndarray, w: jnp.ndarray):
@@ -288,6 +399,8 @@ def fusion_update_compact(
     dot_th: float,
     sigma: float,
     active_capacity: int,
+    block_size: Optional[int] = None,
+    visible_capacity: Optional[int] = None,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -317,13 +430,32 @@ def fusion_update_compact(
 
     from ..ops.masking import compact_masked
 
-    h, w, active = project_map_to_frame(map_state, pose, intrinsics, H, W)
-    idxb, avalid = compact_masked(active, A)  # (B, A)
+    if block_size is not None:
+        # spatial block gating: association over visible blocks only
+        vcap = visible_capacity or max(
+            8, (4 * HW + block_size - 1) // block_size
+        )
+        src_data, src_slots, src_live = visible_subarena(
+            map_state, pose, intrinsics, H, W, block_size, vcap
+        )
+        h, w, active = _project_points_to_frame(
+            src_data[..., 0:3], src_live, pose, intrinsics, H, W
+        )
+    else:
+        src_data, src_slots = map_state.data, None
+        h, w, active = project_map_to_frame(map_state, pose, intrinsics, H, W)
+
+    idxb, avalid = compact_masked(active, A)  # (B, A) indices into src rows
 
     # one packed-row gather pulls every map attribute of the active set
-    ma = jnp.take_along_axis(map_state.data, idxb[..., None], axis=1)
+    ma = jnp.take_along_axis(src_data, idxb[..., None], axis=1)
     mp, mn, mco, mcc = ma[..., 0:3], ma[..., 3:6], ma[..., 6:9], ma[..., 9:10]
     pixa = jnp.take_along_axis(h * W + w, idxb, axis=1)  # (B, A)
+    # arena slot of each active row (for tie-break order and write-back)
+    if src_slots is None:
+        arena_slot = idxb
+    else:
+        arena_slot = jnp.take_along_axis(src_slots, idxb, axis=1)
 
     # packed frame attributes: gv(3) gn(3) rgb(3) alpha(1) -> one gather
     alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
@@ -349,7 +481,7 @@ def fusion_update_compact(
     pix_seg = jnp.where(gated, pixa, HW).astype(jnp.int32)
     cc1 = mcc[..., 0]
     ray = jnp.sum((mp - fp) ** 2, axis=-1)
-    slot = idxb  # original arena index for deterministic tie-break
+    slot = arena_slot  # original arena index for deterministic tie-break
 
     sorted_ops = jax.vmap(
         lambda p, c, r, s, rowix: jax.lax.sort(
@@ -399,7 +531,7 @@ def fusion_update_compact(
 
     # winner merges write back with one scatter (random destinations);
     # appends go through the contiguous fast path in append_rows_to_map.
-    merge_slots = jnp.where(winner, idxb, CAP)
+    merge_slots = jnp.where(winner, arena_slot, CAP)
     data = map_state.data.at[b_idx, merge_slots].set(merged, mode="drop")
     state = MapState(data=data, num_points=map_state.num_points)
 

@@ -60,6 +60,8 @@ class SLAMOptions(NamedTuple):
     map_capacity: Optional[int] = None  # default: L*H*W
     tgt_capacity: Optional[int] = None  # odometry candidate buffer
     active_capacity: Optional[int] = None  # fusion active-set buffer (2*H*W)
+    block_size: Optional[int] = None  # spatial block gating (None = off)
+    visible_capacity: Optional[int] = None  # visible-block buffer
     lambda_max: float = 2.0
     B: float = 1.0
     B2: float = 1.0
@@ -153,6 +155,8 @@ def _map_update(map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions):
             opts.dot_th,
             opts.sigma,
             opts.active_capacity or 2 * H * W,
+            opts.block_size,
+            opts.visible_capacity,
         )
     return aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
 

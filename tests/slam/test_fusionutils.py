@@ -239,3 +239,67 @@ class TestCompactFusionEquivalence:
         np.testing.assert_allclose(
             np.asarray(m_fast.colors), np.asarray(m_ref.colors), atol=1e-6
         )
+
+
+class TestBlockGating:
+    def test_gated_matches_ungated(self, frame0, frame1):
+        """With enough visible-block capacity, block gating is exact."""
+        from gradslam_tpu.slam.fusionutils import fusion_update_compact
+        from gradslam_tpu.structures.maparena import init_map
+
+        rgbd0 = frame0.to_channels_last()
+        rgbd1 = frame1.to_channels_last()
+        B, _, H, W = rgbd0.shape
+        cap = 3 * H * W  # 57600 -> 113 blocks of 512
+
+        def fa(r):
+            return (
+                r.global_vertex_map[:, 0],
+                r.global_normal_map[:, 0],
+                r.vertex_map[:, 0],
+                r.rgb_image[:, 0],
+                r.valid_depth_mask[:, 0, ..., 0],
+            )
+
+        gv, gn, lv, rgb, vd = fa(rgbd0)
+        m = init_map(B, cap)
+        m = fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, rgbd0.poses[:, 0], rgbd0.intrinsics,
+            0.05, DOT_TH, 0.6, 2 * H * W,
+        )
+
+        gv, gn, lv, rgb, vd = fa(rgbd1)
+        pose1 = rgbd1.poses[:, 0]
+        m_ref = fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, pose1, rgbd1.intrinsics,
+            0.05, DOT_TH, 0.6, 2 * H * W,
+        )
+        m_gated = fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, pose1, rgbd1.intrinsics,
+            0.05, DOT_TH, 0.6, 2 * H * W,
+            block_size=512, visible_capacity=-(-cap // 512),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_gated.num_points), np.asarray(m_ref.num_points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_gated.data), np.asarray(m_ref.data), atol=1e-6
+        )
+
+    def test_end_to_end_with_gating(self, msrd_data):
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        colors = jnp.asarray(msrd_data["colors"])
+        depths = jnp.asarray(msrd_data["depths"])
+        K = jnp.asarray(msrd_data["intrinsics"])
+        B, L, H, W, _ = colors.shape
+        cap = L * H * W
+        base = SLAMOptions(odom="gradicp", numiters=5, fusion=True)
+        gated = base._replace(block_size=1024)
+        _, p_ref = slam_sequence(colors, depths, K, None, base, cap)
+        _, p_gat = slam_sequence(colors, depths, K, None, gated, cap)
+        terr = np.linalg.norm(
+            np.asarray(p_ref)[..., :3, 3] - np.asarray(p_gat)[..., :3, 3],
+            axis=-1,
+        )
+        assert terr.max() < 5e-3, f"gated trajectory diverged {terr.max()}"
