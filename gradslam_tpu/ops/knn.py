@@ -34,6 +34,7 @@ __all__ = ["knn", "knn_reference"]
 
 _SRC_TILE = 512
 _TGT_TILE = 1024
+_TGT_CHUNK = 8192  # max targets per kernel call (VMEM lane-padding bound)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -187,5 +188,22 @@ def knn(
     tgt_p = jax.lax.stop_gradient(tgt_p.astype(jnp.float32))
     tnorm = jax.lax.stop_gradient(tnorm.astype(jnp.float32))
 
-    dist, idx = _knn_pallas(src_p, tgt_p, tnorm)
-    return dist[:, :S], idx[:, :S]
+    # Chunk very large target sets: the (T, 8)/(T, 1) VMEM buffers are
+    # lane-padded 16x by Mosaic, so a single kernel invocation is capped
+    # at _TGT_CHUNK targets; chunk results combine with a strict `<` so
+    # the first (lowest-index) minimum still wins ties exactly.
+    if T_pad <= _TGT_CHUNK:
+        dist, idx = _knn_pallas(src_p, tgt_p, tnorm)
+        return dist[:, :S], idx[:, :S]
+
+    best_d = jnp.full((B, S_pad), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((B, S_pad), jnp.int32)
+    for c0 in range(0, T_pad, _TGT_CHUNK):
+        c1 = min(c0 + _TGT_CHUNK, T_pad)
+        d_c, i_c = _knn_pallas(
+            src_p, tgt_p[:, c0:c1], tnorm[:, c0:c1]
+        )
+        better = d_c < best_d
+        best_d = jnp.where(better, d_c, best_d)
+        best_i = jnp.where(better, i_c + c0, best_i)
+    return best_d[:, :S], best_i[:, :S]
