@@ -7,6 +7,10 @@ reference's ATE bound. Point this at extracted TUM (or ICL) data:
         --sequences rgbd_dataset_freiburg1_desk --seqlen 20 --odometry gradicp
 """
 
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import numpy as np

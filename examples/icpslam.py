@@ -5,6 +5,10 @@ Example:
         --odometry gradicp --seqlen 10
 """
 
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import numpy as np

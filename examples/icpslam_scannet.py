@@ -1,5 +1,9 @@
 """ICP-SLAM on ScanNet scenes (reference examples/icpslam_scannet.py)."""
 
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import numpy as np

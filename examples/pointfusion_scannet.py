@@ -7,6 +7,10 @@ Example:
         --odometry gradicp
 """
 
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import numpy as np

@@ -5,6 +5,10 @@ script, using the golden RGB-D clip shipped with the tests (no dataset
 download needed).
 """
 
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
 import pathlib
 
 import numpy as np

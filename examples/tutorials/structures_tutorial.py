@@ -4,6 +4,10 @@ Mirrors the reference's structures tutorial notebooks as a runnable
 script.
 """
 
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
 import pathlib
 
 import jax.numpy as jnp
