@@ -30,7 +30,7 @@ DATA = pathlib.Path(__file__).parents[1] / "tests" / "data" / "msrd_b2s3"
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--steps", type=int, default=30)
-parser.add_argument("--lr", type=float, default=0.3)
+parser.add_argument("--lr", type=float, default=0.05)
 parser.add_argument("--true_scale", type=float, default=1.1)
 parser.add_argument("--init_scale", type=float, default=1.0)
 
@@ -41,7 +41,6 @@ def main():
     colors = jnp.asarray(np.load(DATA / "colors.npy")[:1, :, ::2, ::2])
     depths_clean = jnp.asarray(np.load(DATA / "depths.npy")[:1, :, ::2, ::2])
     K = jnp.asarray(np.load(DATA / "intrinsics.npy")[:1]).at[:, :, :2].mul(0.5)
-    gt_poses = jnp.asarray(np.load(DATA / "poses.npy")[:1])
     B, L, H, W, _ = colors.shape
 
     # simulate a miscalibrated sensor: observed depth = true / true_scale
@@ -50,13 +49,28 @@ def main():
     opts = SLAMOptions(odom="gradicp", numiters=5, fusion=True)
     capacity = L * H * W
 
+    # reference trajectory from the calibrated sensor: the optimization
+    # target is exactly reproducible at the true scale (zero-noise optimum)
+    from gradslam_tpu.slam.icpslam import slam_sequence
+
+    _, gt_poses = slam_sequence(
+        colors, depths_clean, K, None, opts, capacity
+    )
+    gt_poses = jax.lax.stop_gradient(gt_poses)
+
     @jax.jit
-    def step(params):
+    def step(params, lr):
         loss, grads = jax.value_and_grad(slam_loss)(
             params, colors, depths_observed, K, gt_poses, opts, capacity
         )
-        new = jax.tree_util.tree_map(
-            lambda p, g: p - args.lr * g, params, grads
+        # normalized gradient step on the scale parameter (the raw
+        # gradient magnitude depends on the tiny trajectory scale; the
+        # sign/direction is what matters for this 1-D demo). Bias is kept
+        # fixed: scale and bias are strongly coupled on a single clip.
+        gnorm = jnp.abs(grads.scale) + 1e-20
+        new = DepthCalibParams(
+            scale=params.scale - lr * grads.scale / gnorm,
+            bias=params.bias,
         )
         return new, loss
 
@@ -64,7 +78,8 @@ def main():
         scale=jnp.asarray(args.init_scale), bias=jnp.zeros(())
     )
     for i in range(args.steps):
-        params, loss = step(params)
+        lr = args.lr * (0.5 ** (i / max(args.steps / 3, 1)))
+        params, loss = step(params, lr)
         if i % 5 == 0 or i == args.steps - 1:
             print(
                 f"step {i:3d}: loss {float(loss):.3e} "

@@ -1,0 +1,54 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.parallel import DepthCalibParams, make_mesh
+from gradslam_tpu.parallel.sharded import sharded_slam, sharded_train_step
+from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+
+@pytest.fixture(scope="module")
+def batch8(msrd_data):
+    """B=8 sequence batch (tiled from the golden clip) for a (data=4) mesh."""
+    reps = [0, 1] * 4
+    colors = jnp.asarray(msrd_data["colors"][reps, :, ::2, ::2])
+    depths = jnp.asarray(msrd_data["depths"][reps, :, ::2, ::2])
+    K = jnp.asarray(msrd_data["intrinsics"][reps]).at[:, :, :2].mul(0.5)
+    poses = jnp.asarray(msrd_data["poses"][reps])
+    return colors, depths, K, poses
+
+
+OPTS = SLAMOptions(odom="gradicp", numiters=5, fusion=True)
+
+
+class TestShardedSLAM:
+    def test_data_map_sharded_matches_unsharded(self, batch8):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        colors, depths, K, _ = batch8
+        B, L, H, W, _ = colors.shape
+        cap = L * H * W
+        mesh = make_mesh(data=4, map_=2)
+
+        m_ref, p_ref = slam_sequence(colors, depths, K, None, OPTS, cap)
+        m_sh, p_sh = sharded_slam(mesh, colors, depths, K, None, OPTS, cap)
+        np.testing.assert_allclose(
+            np.asarray(p_sh), np.asarray(p_ref), atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_sh.num_points), np.asarray(m_ref.num_points)
+        )
+
+    def test_train_step_runs_on_mesh(self, batch8):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        colors, depths, K, poses = batch8
+        B, L, H, W, _ = colors.shape
+        mesh = make_mesh(data=4, map_=2)
+        step = sharded_train_step(mesh, OPTS, L * H * W, lr=1e-3)
+        params, loss = step(
+            DepthCalibParams.init(), colors, depths, K, poses
+        )
+        assert np.isfinite(float(loss))
+        assert np.isfinite(float(params.scale))
