@@ -6,7 +6,7 @@ Parity surface with the reference's datautils
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

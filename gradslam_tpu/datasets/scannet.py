@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import glob
 import os
-import warnings
-from pathlib import Path
 from typing import Optional, Union
 
 import cv2

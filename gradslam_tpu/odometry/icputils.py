@@ -18,7 +18,6 @@ Parity surface with the reference's icputils
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Union
 
 import jax

@@ -7,9 +7,10 @@ Parity surface with the reference's fusionutils
     points (fusionutils.py:198-287); here association state is dense —
     per-map-slot masks + pixel indices over the fixed-capacity arena.
   - The reference's per-pixel winner selection via ``torch.unique`` row
-    sorting (fusionutils.py:489-536) becomes three segment reductions over
-    encoded pixel ids with identical lexicographic tie-breaking
-    (max ccount, then min ray distance, then min point index).
+    sorting (fusionutils.py:489-536) keeps identical lexicographic
+    tie-breaking (max ccount, then min ray distance, then min point
+    index): segment reductions in the reference-parity path, one
+    multi-key ``lax.sort`` in the fast path (fusion_update_compact).
   - Ragged appends (fusionutils.py:702-721) become masked scatter-appends
     into the arena (structures/maparena.py).
 
@@ -24,11 +25,7 @@ from typing import NamedTuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..geometry import (
-    inverse_transformation,
-    transform_normals,
-    transform_pointcloud,
-)
+from ..geometry import inverse_transformation, transform_pointcloud
 from ..structures.maparena import (
     MapState,
     append_rows_to_map,
@@ -190,9 +187,7 @@ def visible_subarena(
     centroid = (pts * lv).sum(axis=2) / n_in_block  # (B, NB, 3)
     radius = jnp.sqrt(
         jnp.max(
-            jnp.sum((pts - centroid[:, :, None]) ** 2, -1)
-            * lv[..., 0]
-            + (1.0 - lv[..., 0]) * 0.0,
+            jnp.sum((pts - centroid[:, :, None]) ** 2, -1) * lv[..., 0],
             axis=2,
         )
     )  # (B, NB)

@@ -35,8 +35,6 @@ from ..structures.rgbdimages import (
 )
 from .fusionutils import (
     aggregate_map_dense,
-    find_correspondences_dense,
-    fuse_map_dense,
     fusion_update_compact,
     project_map_to_frame,
 )

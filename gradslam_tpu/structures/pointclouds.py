@@ -12,7 +12,7 @@ methods; JAX donation replaces in-place semantics).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

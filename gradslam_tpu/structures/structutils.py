@@ -8,7 +8,7 @@ plotly image helpers (re-exported from gradslam_tpu.viz).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
