@@ -47,6 +47,7 @@ class SLAMOptions(NamedTuple):
 
     odom: str = "gradicp"  # 'gt' | 'icp' | 'gradicp'
     dsratio: int = 4
+    pyramid: Optional[Tuple[int, ...]] = None  # coarse-to-fine dsratios
     numiters: int = 20
     damp: float = 1e-8
     dist_thresh: Optional[float] = None  # odometry association gate (sq dist)
@@ -83,50 +84,55 @@ def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
     The live frame is seeded with the previous pose; the frame cloud is the
     strided-downsampled global vertex/normal map; the target cloud is the
     downsample-gated set of map points active in the previous frame.
+
+    With ``opts.pyramid`` (e.g. ``(8, 4)``) the solve runs coarse-to-fine:
+    each level chains its transform into the next level's initialization —
+    robustness to larger inter-frame motion beyond the reference's
+    single-level scheme.
     """
     B, H, W, _ = rgb.shape
-    ds = opts.dsratio
     vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
-
-    # source: strided frame points (fixed size S = ceil(H/ds)*ceil(W/ds))
-    sl = (slice(None), slice(None, None, ds), slice(None, None, ds))
-    src = gv[sl].reshape(B, -1, 3)
-    src_valid = valid[sl].reshape(B, -1)
-
-    # target: active map points whose projected pixel is on the ds grid
     h, w, active = project_map_to_frame(
         map_state, prev_pose, intrinsics, H, W
     )
-    cand = active & (h % ds == 0) & (w % ds == 0)
-    tgt_cap = opts.tgt_capacity or _default_tgt_capacity(H, W, ds)
-    idx, tgt_valid = compact_masked(cand, tgt_cap)
-    # one packed-row gather for target points + normals
-    rows = jnp.take_along_axis(map_state.data, idx[..., None], axis=1)
-    tgt = rows[..., 0:3]
-    tgt_n = rows[..., 3:6]
 
-    common = dict(
-        numiters=opts.numiters,
-        damp=opts.damp,
-        dist_thresh=opts.dist_thresh,
-        robust_delta=opts.robust_delta,
-        src_valid=src_valid.astype(src.dtype),
-        tgt_valid=tgt_valid,
-    )
-    if opts.odom == "gradicp":
-        transform = point_to_plane_gradICP(
-            src,
-            tgt,
-            tgt_n,
-            None,
-            lambda_max=opts.lambda_max,
-            B=opts.B,
-            B2=opts.B2,
-            nu=opts.nu,
-            **common,
+    transform = None
+    for ds in opts.pyramid or (opts.dsratio,):
+        # source: strided frame points (static size per level)
+        sl = (slice(None), slice(None, None, ds), slice(None, None, ds))
+        src = gv[sl].reshape(B, -1, 3)
+        src_valid = valid[sl].reshape(B, -1)
+
+        # target: active map points whose projected pixel is on the ds grid
+        cand = active & (h % ds == 0) & (w % ds == 0)
+        tgt_cap = opts.tgt_capacity or _default_tgt_capacity(H, W, ds)
+        idx, tgt_valid = compact_masked(cand, tgt_cap)
+        rows = jnp.take_along_axis(map_state.data, idx[..., None], axis=1)
+        tgt = rows[..., 0:3]
+        tgt_n = rows[..., 3:6]
+
+        common = dict(
+            numiters=opts.numiters,
+            damp=opts.damp,
+            dist_thresh=opts.dist_thresh,
+            robust_delta=opts.robust_delta,
+            src_valid=src_valid.astype(src.dtype),
+            tgt_valid=tgt_valid,
         )
-    else:
-        transform = point_to_plane_ICP(src, tgt, tgt_n, None, **common)
+        if opts.odom == "gradicp":
+            transform = point_to_plane_gradICP(
+                src,
+                tgt,
+                tgt_n,
+                transform,
+                lambda_max=opts.lambda_max,
+                B=opts.B,
+                B2=opts.B2,
+                nu=opts.nu,
+                **common,
+            )
+        else:
+            transform = point_to_plane_ICP(src, tgt, tgt_n, transform, **common)
     return compose_transformations(transform, prev_pose)
 
 

