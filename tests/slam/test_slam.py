@@ -163,3 +163,47 @@ class TestPyramidOdometry:
         slam = PointFusion(odom="gradicp", numiters=5, pyramid=(8, 4))
         pc, poses = slam(rgbd)
         assert poses.shape[1] == 3
+
+
+class TestOddShapes:
+    """Robustness at awkward sizes (nothing aligned to tiles/blocks)."""
+
+    @pytest.mark.parametrize("B,L,H,W", [(1, 1, 37, 53), (3, 2, 30, 41)])
+    def test_slam_sequence_odd_shapes(self, B, L, H, W):
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        rng = np.random.RandomState(0)
+        rgb = jnp.asarray(rng.rand(B, L, H, W, 3).astype(np.float32))
+        base = 1.0 + 0.3 * rng.rand(H, W).astype(np.float32)
+        depth = jnp.asarray(
+            np.broadcast_to(base, (B, L, H, W)).copy()[..., None]
+        )
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 40.0
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        K = jnp.asarray(np.broadcast_to(K, (B, 1, 4, 4)).copy())
+        opts = SLAMOptions(odom="gradicp", numiters=3, fusion=True, dsratio=3)
+        m, poses = slam_sequence(rgb, depth, K, None, opts, L * H * W)
+        assert poses.shape == (B, L, 4, 4)
+        assert np.isfinite(np.asarray(poses)).all()
+        assert (np.asarray(m.num_points) > 0).all()
+
+    def test_block_gating_odd_shapes(self):
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        rng = np.random.RandomState(1)
+        B, L, H, W = 1, 2, 45, 61
+        rgb = jnp.asarray(rng.rand(B, L, H, W, 3).astype(np.float32))
+        depth = jnp.asarray(
+            (1.0 + 0.2 * rng.rand(B, L, H, W).astype(np.float32))[..., None]
+        )
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 50.0
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        K = jnp.asarray(K[None, None])
+        opts = SLAMOptions(
+            odom="gradicp", numiters=2, fusion=True, dsratio=2,
+            block_size=700,  # does not divide the capacity
+        )
+        m, poses = slam_sequence(rgb, depth, K, None, opts, L * H * W)
+        assert np.isfinite(np.asarray(poses)).all()
