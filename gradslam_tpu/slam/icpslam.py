@@ -277,9 +277,12 @@ class ICPSLAM:
     Args:
         odom: odometry method, one of 'gt', 'icp', 'gradicp'.
         dsratio: downsampling ratio for ICP (default 4).
-        numiters: ICP iterations (default 20).
+        pyramid: optional coarse-to-fine dsratio levels, e.g. (8, 4).
+        numiters: ICP iterations per level (default 20).
         damp / dist_thresh: solver damping and association gate.
+        robust_delta: optional Huber threshold on ICP residuals.
         map_capacity: override the arena capacity (default L*H*W).
+        block_size / visible_capacity: spatial block gating for large maps.
     """
 
     _fusion = False
