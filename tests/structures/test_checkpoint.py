@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from gradslam_tpu.structures import append_to_map, init_map
@@ -68,3 +69,20 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(m2.points), np.asarray(m_full.points), atol=1e-6
         )
+
+    def test_orbax_round_trip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        m = init_map(1, 8)
+        pts = jnp.ones((1, 3, 3))
+        m = append_to_map(
+            m, pts, pts, pts, jnp.ones((1, 3, 1)), jnp.ones((1, 3), bool)
+        )
+        poses = jnp.zeros((1, 2, 4, 4))
+        path = tmp_path / "orbax_ckpt"
+        save_slam_state(str(path), m, poses, use_orbax=True)
+        m2, poses2 = load_slam_state(str(path), use_orbax=True)
+        np.testing.assert_allclose(np.asarray(m2.data), np.asarray(m.data))
+        np.testing.assert_array_equal(
+            np.asarray(m2.num_points), np.asarray(m.num_points)
+        )
+        np.testing.assert_allclose(np.asarray(poses2), np.asarray(poses))
