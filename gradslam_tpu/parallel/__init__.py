@@ -1,4 +1,12 @@
+from . import multihost
 from .mesh import make_mesh, shard_batch, shard_map_state
+from .pose_refine import (
+    PoseGraph,
+    ba_refine,
+    pose_graph_refine,
+    pose_graph_refine_sharded,
+)
+from .seqpar import merge_chunk_maps, sequence_parallel_slam
 from .sharded import (
     DepthCalibParams,
     sharded_slam,
@@ -7,7 +15,14 @@ from .sharded import (
 )
 
 __all__ = [
+    "multihost",
     "make_mesh",
+    "PoseGraph",
+    "pose_graph_refine",
+    "pose_graph_refine_sharded",
+    "ba_refine",
+    "sequence_parallel_slam",
+    "merge_chunk_maps",
     "shard_batch",
     "shard_map_state",
     "DepthCalibParams",

@@ -11,7 +11,11 @@ import base64
 
 import numpy as np
 
+from .ply import pointclouds_to_ply, write_ply
+
 __all__ = [
+    "write_ply",
+    "pointclouds_to_ply",
     "pointclouds_open3d",
     "pointclouds_plotly",
     "rgbd_plotly",

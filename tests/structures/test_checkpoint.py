@@ -86,3 +86,29 @@ class TestCheckpoint:
             np.asarray(m2.num_points), np.asarray(m.num_points)
         )
         np.testing.assert_allclose(np.asarray(poses2), np.asarray(poses))
+
+
+class TestPlyExport:
+    def test_ply_round_trip_header(self, tmp_path, msrd_data):
+        from gradslam_tpu.structures import RGBDImages
+        from gradslam_tpu.structures.utils import pointclouds_from_rgbdimages
+        from gradslam_tpu.viz import pointclouds_to_ply
+
+        rgbd = RGBDImages(
+            msrd_data["colors"][:1, :1],
+            msrd_data["depths"][:1, :1],
+            msrd_data["intrinsics"][:1],
+            msrd_data["poses"][:1, :1],
+        )
+        pc = pointclouds_from_rgbdimages(rgbd)
+        path = tmp_path / "map.ply"
+        pointclouds_to_ply(pc, str(path))
+        data = path.read_bytes()
+        n = int(pc.num_points_per_pointcloud[0])
+        header = data.split(b"end_header\n")[0].decode()
+        assert f"element vertex {n}" in header
+        assert "property float nx" in header
+        assert "property uchar red" in header
+        # payload size: n * (3+3 floats + 3 uchar)
+        payload = data.split(b"end_header\n", 1)[1]
+        assert len(payload) == n * (6 * 4 + 3)
