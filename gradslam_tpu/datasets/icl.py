@@ -56,6 +56,7 @@ class ICL:
         return_transform: bool = True,
         return_names: bool = True,
         return_timestamps: bool = False,
+        use_native: Optional[bool] = None,
     ):
         basedir = Path(basedir)
         if not basedir.is_dir():
@@ -77,6 +78,11 @@ class ICL:
         self.return_transform = return_transform
         self.return_names = return_names
         self.return_timestamps = return_timestamps
+        if use_native is None:
+            from . import native_loader
+
+            use_native = native_loader.native_available()
+        self.use_native = use_native
 
         traj_names = self._resolve_trajectories(basedir, trajectories)
 
@@ -194,16 +200,47 @@ class ICL:
             )
         return (img / self._DEPTH_SCALE)[..., None]
 
+    def _load_frames(self, frames):
+        """Batch-loads colors (+depths); native C++ threaded path when
+        available, Python fallback otherwise."""
+        if self.use_native:
+            from . import native_loader
+
+            colors = native_loader.load_color_batch(
+                [f[0] for f in frames],
+                self.height,
+                self.width,
+                normalize=self.normalize_color,
+            )
+            depths = (
+                native_loader.load_depth_batch(
+                    [f[1] for f in frames],
+                    self.height,
+                    self.width,
+                    self._DEPTH_SCALE,
+                )
+                if self.return_depth
+                else None
+            )
+            if colors is not None:
+                return colors, depths
+        colors = np.stack([self._load_color(f[0]) for f in frames])
+        depths = (
+            np.stack([self._load_depth(f[1]) for f in frames])
+            if self.return_depth
+            else None
+        )
+        return colors, depths
+
     def __getitem__(self, idx):
         name, frames = self.samples[idx]
-        colors = np.stack([self._load_color(f[0]) for f in frames])
+        colors, depths = self._load_frames(frames)
         output = []
         if self.channels_first:
             colors = datautils.channels_first(colors)
         output.append(colors)
 
         if self.return_depth:
-            depths = np.stack([self._load_depth(f[1]) for f in frames])
             if self.channels_first:
                 depths = datautils.channels_first(depths)
             output.append(depths)
