@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 
 from .projutils import homogenize_points, unhomogenize_points
@@ -215,7 +216,12 @@ def transform_pointcloud(pointcloud: jnp.ndarray, transform: jnp.ndarray) -> jnp
     if pointcloud.shape[-1] != 3:
         raise ValueError(f"pointcloud must be (..., N, 3), got {pointcloud.shape}")
     homo = homogenize_points(pointcloud)
-    tformed = jnp.einsum("...ij,...nj->...ni", transform, homo)
+    tformed = jnp.einsum(
+        "...ij,...nj->...ni",
+        transform,
+        homo,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return unhomogenize_points(tformed)
 
 
@@ -227,4 +233,9 @@ def transform_normals(normals: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarr
     if normals.shape[-1] != 3:
         raise ValueError(f"normals must be (..., N, 3), got {normals.shape}")
     rmat = transform[..., :3, :3]
-    return jnp.einsum("...ij,...nj->...ni", rmat, normals)
+    return jnp.einsum(
+        "...ij,...nj->...ni",
+        rmat,
+        normals,
+        precision=jax.lax.Precision.HIGHEST,
+    )

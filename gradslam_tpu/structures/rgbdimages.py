@@ -70,7 +70,9 @@ def compute_vertex_map(
     rays = pixel_rays(H, W, depth_image.dtype)  # (H, W, 3)
     kinv = inverse_intrinsics(intrinsics)[..., :3, :3]  # (B, 1, 3, 3)
     # (B, 1, 3, 3) x (H, W, 3) -> (B, 1, H, W, 3); broadcast over L.
-    vmap_rays = jnp.einsum("bsjc,hwc->bshwj", kinv, rays)
+    vmap_rays = jnp.einsum(
+        "bsjc,hwc->bshwj", kinv, rays, precision=jax.lax.Precision.HIGHEST
+    )
     vertex = vmap_rays * depth_image  # (B, L, H, W, 3) via broadcast over L
     return vertex * valid_depth_mask(depth_image).astype(vertex.dtype)
 
@@ -93,7 +95,12 @@ def compute_global_vertex_map(
         return vertex_map
     rmat = poses[..., :3, :3]
     tvec = poses[..., :3, 3]
-    out = jnp.einsum("bsjc,bshwc->bshwj", rmat, vertex_map)
+    out = jnp.einsum(
+        "bsjc,bshwc->bshwj",
+        rmat,
+        vertex_map,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out = out + tvec[:, :, None, None, :]
     if mask is not None:
         out = out * mask.astype(out.dtype)
@@ -149,7 +156,12 @@ def compute_global_normal_map(
     if poses is None:
         return normal_map
     rmat = poses[..., :3, :3]
-    return jnp.einsum("bsjc,bshwc->bshwj", rmat, normal_map)
+    return jnp.einsum(
+        "bsjc,bshwc->bshwj",
+        rmat,
+        normal_map,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _to_channels_last(x: jnp.ndarray) -> jnp.ndarray:
