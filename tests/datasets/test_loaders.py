@@ -11,7 +11,12 @@ import pytest
 import imageio.v2 as imageio
 
 from gradslam_tpu.datasets import ICL, TUM, Scannet
-from gradslam_tpu.datasets.tumutils import associate, read_file_list
+from gradslam_tpu.datasets.tumutils import (
+    associate,
+    read_file_list,
+    read_trajectory,
+    transform44,
+)
 
 
 def _write_png16(path, arr):
@@ -270,6 +275,37 @@ class TestTumUtils:
         a = {1.0: ["a"]}
         b = {1.5: ["x"]}
         assert associate(a, b, 0.0, 0.02) == []
+
+    def test_read_trajectory_matrix(self, tum_dir):
+        traj = read_trajectory(
+            str(tum_dir / "rgbd_dataset_freiburg1_test" / "groundtruth.txt")
+        )
+        assert len(traj) == N_FRAMES
+        stamp, T = next(iter(traj.items()))
+        assert isinstance(stamp, str)
+        assert T.shape == (4, 4)
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=0)
+
+    def test_read_trajectory_raw_and_filters(self, tmp_path):
+        p = tmp_path / "gt.txt"
+        p.write_text(
+            "# comment\n"
+            "1.0 1 2 3 0 0 0 1\n"
+            "2.0 4 5 6 0 0 0 0\n"  # zero quaternion: dropped
+            "3.0 7 8 nan 0 0 0 1\n"  # NaN: dropped with warning
+        )
+        traj = read_trajectory(str(p), matrix=False)
+        assert list(traj.keys()) == ["1.0"]
+        assert traj["1.0"] == [1.0, 2.0, 3.0, 0.0, 0.0, 0.0, 1.0]
+
+    def test_transform44_rotation(self):
+        # 90 deg about z: q = (0, 0, sin45, cos45)
+        s = np.sin(np.pi / 4)
+        T = transform44(["t", 1.0, 2.0, 3.0, 0.0, 0.0, s, s])
+        Rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        np.testing.assert_allclose(T[:3, :3], Rz, atol=1e-12)
+        np.testing.assert_allclose(T[:3, 3], [1, 2, 3], atol=0)
 
 
 class TestNativeLoader:
