@@ -191,13 +191,21 @@ def _refine_trajectory(poses: jnp.ndarray, num_iters: int) -> jnp.ndarray:
     return jax.vmap(per_batch)(poses)
 
 
-def merge_chunk_maps(result: SeqParResult, batch_size: int):
+def merge_chunk_maps(
+    result: SeqParResult,
+    batch_size: int,
+    dedup_voxel: Optional[float] = None,
+):
     """Merges chunk-local maps into per-batch global Pointclouds.
 
     Transforms each chunk's arena by its global origin and concatenates
     live points (host boundary). Overlap frames contribute duplicate
-    points at chunk seams; a cross-chunk fusion pass can deduplicate
-    downstream.
+    points at chunk seams; pass ``dedup_voxel`` (a cell size in map units,
+    e.g. the fusion ``dist_th``) to run a cross-chunk voxel fusion pass
+    (ops/voxel.py) that collapses seam duplicates into single
+    confidence-weighted points — the voxel analogue of PointFusion's
+    projective association, applicable where no single camera sees the
+    seam.
     """
     from ..structures import Pointclouds
 
@@ -227,6 +235,28 @@ def merge_chunk_maps(result: SeqParResult, batch_size: int):
         nrm_l.append(np.concatenate(nrms) if nrms else np.zeros((0, 3), np.float32))
         col_l.append(np.concatenate(cols) if cols else np.zeros((0, 3), np.float32))
         feat_l.append(np.concatenate(feats) if feats else np.zeros((0, 1), np.float32))
+
+    if dedup_voxel is not None:
+        from ..ops.voxel import voxel_merge
+
+        for b in range(batch_size):
+            n = len(pts_l[b])
+            if n == 0:
+                continue
+            mp, mn, mc, mcc, mlive = voxel_merge(
+                jnp.asarray(pts_l[b])[None],
+                jnp.asarray(nrm_l[b])[None],
+                jnp.asarray(col_l[b])[None],
+                jnp.asarray(feat_l[b])[None],
+                jnp.ones((1, n), bool),
+                dedup_voxel,
+            )
+            k = int(np.asarray(mlive[0]).sum())
+            pts_l[b] = np.asarray(mp[0][:k])
+            nrm_l[b] = np.asarray(mn[0][:k])
+            col_l[b] = np.asarray(mc[0][:k])
+            feat_l[b] = np.asarray(mcc[0][:k])
+
     return Pointclouds(
         points=pts_l, normals=nrm_l, colors=col_l, features=feat_l
     )

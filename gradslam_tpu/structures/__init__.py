@@ -14,6 +14,7 @@ from .maparena import (
     init_map,
     map_mask,
     map_to_pointclouds,
+    voxel_compact_map,
 )
 from .structutils import list_to_padded, padded_to_list
 from .utils import pointclouds_from_rgbdimages
@@ -26,6 +27,7 @@ __all__ = [
     "map_mask",
     "append_to_map",
     "compact_map",
+    "voxel_compact_map",
     "map_to_pointclouds",
     "pointclouds_from_rgbdimages",
     "list_to_padded",

@@ -26,7 +26,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["MapState", "init_map", "map_mask", "append_to_map", "map_to_pointclouds"]
+__all__ = [
+    "MapState",
+    "init_map",
+    "map_mask",
+    "append_to_map",
+    "compact_map",
+    "voxel_compact_map",
+    "map_to_pointclouds",
+]
 
 _CH = 12  # packed row width
 _PT, _NR, _CO, _CC = slice(0, 3), slice(3, 6), slice(6, 9), slice(9, 10)
@@ -214,6 +222,26 @@ def compact_map(
     data = data * valid[..., None].astype(data.dtype)
     return MapState(
         data=data, num_points=jnp.sum(keep, axis=1).astype(jnp.int32)
+    )
+
+
+def voxel_compact_map(state: MapState, voxel_size: float) -> MapState:
+    """Merges map points sharing a voxel cell, reclaiming arena slots.
+
+    The complementary overflow policy to :func:`compact_map`: instead of
+    evicting low-confidence points, near-duplicate points (same
+    ``voxel_size`` cell) collapse into one confidence-weighted point whose
+    ccount is the cell sum — no observations are discarded. Useful when
+    association misses have inflated the arena with co-located duplicates.
+
+    Pure and jittable; surviving rows are compacted to the front (sorted
+    by voxel cell, not by original order).
+    """
+    from ..ops.voxel import voxel_merge_rows
+
+    merged, live = voxel_merge_rows(state.data, map_mask(state), voxel_size)
+    return MapState(
+        data=merged, num_points=jnp.sum(live, axis=1).astype(jnp.int32)
     )
 
 

@@ -85,6 +85,22 @@ class TestSequenceParallel:
         pts = np.asarray(pc.points_padded[0, :n])
         assert np.isfinite(pts).all()
 
+    def test_merge_chunk_maps_voxel_dedup(self, seq):
+        colors, depths, K = seq
+        res = sequence_parallel_slam(colors, depths, K, OPTS, n_chunks=2)
+        pc_raw = merge_chunk_maps(res, batch_size=1)
+        pc_dd = merge_chunk_maps(res, batch_size=1, dedup_voxel=0.05)
+        n_raw = int(pc_raw.num_points_per_pointcloud[0])
+        n_dd = int(pc_dd.num_points_per_pointcloud[0])
+        # seam-overlap duplicates collapse: strictly fewer points
+        assert 0 < n_dd < n_raw
+        pts = np.asarray(pc_dd.points_padded[0, :n_dd])
+        assert np.isfinite(pts).all()
+        # confidence is conserved: total ccount unchanged by merging
+        cc_raw = np.asarray(pc_raw.features_padded[0, :n_raw]).sum()
+        cc_dd = np.asarray(pc_dd.features_padded[0, :n_dd]).sum()
+        np.testing.assert_allclose(cc_dd, cc_raw, rtol=1e-4)
+
     def test_refine_keeps_consistent_trajectory(self, seq):
         colors, depths, K = seq
         res = sequence_parallel_slam(

@@ -119,3 +119,43 @@ class TestCompactMap:
         m = append_to_map(m, pts, pts, pts, cc, jnp.ones((2, 8), bool))
         m2 = jax.jit(lambda s: compact_map(s, min_ccount=0.5))(m)
         np.testing.assert_array_equal(np.asarray(m2.num_points), [8, 8])
+
+
+class TestVoxelCompactMap:
+    def test_merges_colocated_points(self):
+        from gradslam_tpu.structures import voxel_compact_map
+
+        m = init_map(1, 16)
+        # three points in one 0.1-cell, one far away
+        pts = jnp.asarray(
+            [[[0.01, 0.0, 0.0], [0.02, 0.0, 0.0], [0.03, 0.0, 0.0],
+              [5.0, 5.0, 5.0]]]
+        )
+        cc = jnp.asarray([[[1.0], [1.0], [2.0], [1.0]]])
+        m = append_to_map(m, pts, pts, pts, cc, jnp.ones((1, 4), bool))
+        m2 = voxel_compact_map(m, voxel_size=0.1)
+        np.testing.assert_array_equal(np.asarray(m2.num_points), [2])
+        got = np.sort(np.asarray(m2.ccounts[0, :2, 0]))
+        np.testing.assert_allclose(got, [1.0, 4.0])
+        # merged position is the ccount-weighted mean
+        merged_x = (0.01 * 1 + 0.02 * 1 + 0.03 * 2) / 4
+        xs = np.sort(np.asarray(m2.points[0, :2, 0]))
+        np.testing.assert_allclose(xs, [merged_x, 5.0], atol=1e-6)
+
+    def test_jittable_and_idempotent(self):
+        from gradslam_tpu.structures import voxel_compact_map
+
+        m = init_map(2, 32)
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.uniform(-1, 1, (2, 20, 3)).astype(np.float32))
+        cc = jnp.ones((2, 20, 1))
+        m = append_to_map(m, pts, pts, pts, cc, jnp.ones((2, 20), bool))
+        f = jax.jit(lambda s: voxel_compact_map(s, 0.3))
+        m1 = f(m)
+        m2 = f(m1)
+        np.testing.assert_array_equal(
+            np.asarray(m1.num_points), np.asarray(m2.num_points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m1.points), np.asarray(m2.points), atol=1e-6
+        )
