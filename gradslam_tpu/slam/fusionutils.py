@@ -445,7 +445,14 @@ def fusion_update_compact(
     # one packed-row gather pulls every map attribute of the active set
     ma = jnp.take_along_axis(src_data, idxb[..., None], axis=1)
     mp, mn, mco, mcc = ma[..., 0:3], ma[..., 3:6], ma[..., 6:9], ma[..., 9:10]
-    pixa = jnp.take_along_axis(h * W + w, idxb, axis=1)  # (B, A)
+    # recompute the projected pixel from the gathered positions instead of
+    # gathering the precomputed (B, CAP) pixel image: same math on the same
+    # inputs (bitwise identical), and vectorized flops on A rows are ~free
+    # while the extra random gather costs ~0.8 ms/frame at the bench point
+    ha, wa, _ = _project_points_to_frame(
+        mp, jnp.ones_like(avalid), pose, intrinsics, H, W
+    )
+    pixa = ha * W + wa  # (B, A)
     # arena slot of each active row (for tie-break order and write-back)
     if src_slots is None:
         arena_slot = idxb
@@ -524,10 +531,23 @@ def fusion_update_compact(
         cc_new,
     )  # (B, A, 12)
 
-    # winner merges write back with one scatter (random destinations);
-    # appends go through the contiguous fast path in append_rows_to_map.
+    # Winner write-back, gather-formulated: TPU scatters cost ~45 ns per
+    # SOURCE row (12-channel) while gathers + dense selects run at memory
+    # bandwidth, so instead of scattering (B, A) merged rows into the
+    # arena we scatter only the winners' row INDEX (s32, ~4 ns/row) into
+    # a (B, CAP) grid, then gather each arena slot's update and select
+    # densely — measured 4.2x faster at the bench operating point.
     merge_slots = jnp.where(winner, arena_slot, CAP)
-    data = map_state.data.at[b_idx, merge_slots].set(merged, mode="drop")
+    rowix = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (B, A))
+    win_row = (
+        jnp.full((B, CAP), -1, jnp.int32)
+        .at[b_idx, merge_slots]
+        .set(rowix, mode="drop")
+    )
+    upd = jnp.take_along_axis(
+        merged, jnp.maximum(win_row, 0)[..., None], axis=1
+    )
+    data = jnp.where((win_row >= 0)[..., None], upd, map_state.data)
     state = MapState(data=data, num_points=map_state.num_points)
 
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr
