@@ -396,6 +396,7 @@ def fusion_update_compact(
     active_capacity: int,
     block_size: Optional[int] = None,
     visible_capacity: Optional[int] = None,
+    return_active: bool = False,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -417,6 +418,11 @@ def fusion_update_compact(
     for this frame (they are simply not merged; the affected pixels may
     append a duplicate point). Size ``active_capacity`` generously
     (default 4*H*W) to make this a non-event.
+
+    With ``return_active`` the compacted active set ``(arena_slots (B, A)
+    int32, valid (B, A) bool)`` is also returned — the next frame's
+    odometry candidates (its prev_pose is this frame's pose), saving that
+    step a full-arena compaction (slam/icpslam.py).
     """
     B, H, W, _ = frame_vertex_global.shape
     CAP = map_state.capacity
@@ -531,30 +537,28 @@ def fusion_update_compact(
         cc_new,
     )  # (B, A, 12)
 
-    # Winner write-back, gather-formulated: TPU scatters cost ~45 ns per
-    # SOURCE row (12-channel) while gathers + dense selects run at memory
-    # bandwidth, so instead of scattering (B, A) merged rows into the
-    # arena we scatter only the winners' row INDEX (s32, ~4 ns/row) into
-    # a (B, CAP) grid, then gather each arena slot's update and select
-    # densely — measured 4.2x faster at the bench operating point.
-    merge_slots = jnp.where(winner, arena_slot, CAP)
-    rowix = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (B, A))
-    win_row = (
-        jnp.full((B, CAP), -1, jnp.int32)
-        .at[b_idx, merge_slots]
-        .set(rowix, mode="drop")
+    # Winner write-back: the 12-channel row scatter costs ~45 ns per
+    # PROCESSED source row (each row is 12 strided element writes in the
+    # arena's channel-major layout), independent of whether the row is
+    # dropped — so first compact winners (at most one per pixel) into an
+    # HW-sized buffer with cheap s32 ops, then scatter only those rows.
+    idxw, wvalid = compact_masked(winner, HW)  # winners <= one per pixel
+    mrows = jnp.take_along_axis(merged, idxw[..., None], axis=1)  # (B,HW,12)
+    wslots = jnp.where(
+        wvalid, jnp.take_along_axis(arena_slot, idxw, axis=1), CAP
     )
-    upd = jnp.take_along_axis(
-        merged, jnp.maximum(win_row, 0)[..., None], axis=1
-    )
-    data = jnp.where((win_row >= 0)[..., None], upd, map_state.data)
+    bw = jnp.broadcast_to(jnp.arange(B)[:, None], (B, HW))
+    data = map_state.data.at[bw, wslots].set(mrows, mode="drop")
     state = MapState(data=data, num_points=map_state.num_points)
 
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr
     frame_rows = jnp.concatenate(
         [frame_attr, jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)], -1
     )
-    return append_rows_to_map(state, frame_rows, new_mask)
+    out = append_rows_to_map(state, frame_rows, new_mask)
+    if return_active:
+        return out, (arena_slot, avalid)
+    return out
 
 
 def aggregate_map_dense(

@@ -34,9 +34,9 @@ from ..structures.rgbdimages import (
     compute_vertex_map,
 )
 from .fusionutils import (
+    _project_points_to_frame,
     aggregate_map_dense,
     fusion_update_compact,
-    project_map_to_frame,
 )
 
 __all__ = ["ICPSLAM", "SLAMOptions", "slam_step", "slam_sequence"]
@@ -65,6 +65,7 @@ class SLAMOptions(NamedTuple):
     B: float = 1.0
     B2: float = 1.0
     nu: float = 200.0
+    reuse_actives: bool = True  # odometry candidates from prev fusion step
 
 
 def _frame_maps(rgb, depth, intrinsics, pose):
@@ -78,7 +79,45 @@ def _frame_maps(rgb, depth, intrinsics, pose):
     return vm[:, 0], nm[:, 0], gv, gn, valid5[:, 0, ..., 0]
 
 
-def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
+def _odometry_candidates(map_state, cand_slots, cand_valid, app_start, win):
+    """Materializes odometry candidate rows from the previous fusion step.
+
+    The candidate set for localization at pose t-1 is exactly the set the
+    previous frame's fusion step already compacted (its active set at pose
+    t-1) plus the rows it appended — which land CONTIGUOUSLY at
+    ``[app_start, num_points)`` and all project into frame t-1 by
+    construction. Gathering those (A + H*W rows) replaces a full-arena
+    compaction (the candidates are re-projected downstream with their
+    CURRENT values, so merged-point movement is accounted for exactly; the
+    only divergence from a fresh full-arena pass is points whose
+    frustum-boundary status flipped due to that movement).
+
+    Returns:
+        (rows (B, A+win, 12), valid (B, A+win) bool).
+    """
+    CAP = map_state.capacity
+    win = min(win, CAP)  # appended rows beyond capacity were dropped anyway
+    rows_a = jnp.take_along_axis(
+        map_state.data, cand_slots[..., None], axis=1
+    )  # (B, A, 12) — current (post-merge) values
+    start = jnp.clip(app_start, 0, CAP - win)
+
+    def slice_b(data_b, s):
+        return jax.lax.dynamic_slice(data_b, (s, 0), (win, data_b.shape[1]))
+
+    rows_n = jax.vmap(slice_b)(map_state.data, start)  # (B, win, 12)
+    slot_n = start[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    valid_n = (slot_n >= app_start[:, None]) & (
+        slot_n < map_state.num_points[:, None]
+    )
+    rows = jnp.concatenate([rows_a, rows_n], axis=1)
+    valid = jnp.concatenate([cand_valid, valid_n], axis=1)
+    return rows, valid
+
+
+def _localize(
+    map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions, cand=None
+):
     """Odometry: new pose for the live frame (reference icpslam.py:238-247).
 
     The live frame is seeded with the previous pose; the frame cloud is the
@@ -89,25 +128,40 @@ def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
     each level chains its transform into the next level's initialization —
     robustness to larger inter-frame motion beyond the reference's
     single-level scheme.
+
+    ``cand`` (optional): ``(slots, valid, app_start)`` candidate state from
+    the previous fusion step (see :func:`_odometry_candidates`) — restricts
+    projection + compaction to A + H*W rows instead of the full arena.
     """
     B, H, W, _ = rgb.shape
     vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
-    h, w, active = project_map_to_frame(
-        map_state, prev_pose, intrinsics, H, W
-    )
+    if cand is None:
+        from ..structures.maparena import map_mask
+
+        src_rows = map_state.data
+        h, w, active = _project_points_to_frame(
+            src_rows[..., 0:3], map_mask(map_state), prev_pose, intrinsics, H, W
+        )
+    else:
+        src_rows, src_valid = _odometry_candidates(
+            map_state, *cand, win=H * W
+        )
+        h, w, active = _project_points_to_frame(
+            src_rows[..., 0:3], src_valid, prev_pose, intrinsics, H, W
+        )
 
     transform = None
     for ds in opts.pyramid or (opts.dsratio,):
         # source: strided frame points (static size per level)
         sl = (slice(None), slice(None, None, ds), slice(None, None, ds))
         src = gv[sl].reshape(B, -1, 3)
-        src_valid = valid[sl].reshape(B, -1)
+        src_valid_px = valid[sl].reshape(B, -1)
 
         # target: active map points whose projected pixel is on the ds grid
-        cand = active & (h % ds == 0) & (w % ds == 0)
+        cand_mask = active & (h % ds == 0) & (w % ds == 0)
         tgt_cap = opts.tgt_capacity or _default_tgt_capacity(H, W, ds)
-        idx, tgt_valid = compact_masked(cand, tgt_cap)
-        rows = jnp.take_along_axis(map_state.data, idx[..., None], axis=1)
+        idx, tgt_valid = compact_masked(cand_mask, tgt_cap)
+        rows = jnp.take_along_axis(src_rows, idx[..., None], axis=1)
         tgt = rows[..., 0:3]
         tgt_n = rows[..., 3:6]
 
@@ -116,7 +170,7 @@ def _localize(map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions):
             damp=opts.damp,
             dist_thresh=opts.dist_thresh,
             robust_delta=opts.robust_delta,
-            src_valid=src_valid.astype(src.dtype),
+            src_valid=src_valid_px.astype(src.dtype),
             tgt_valid=tgt_valid,
         )
         if opts.odom == "gradicp":
@@ -141,7 +195,10 @@ def _default_tgt_capacity(H, W, ds):
     return max(1024, ((cap + 1023) // 1024) * 1024)
 
 
-def _map_update(map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions):
+def _map_update(
+    map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions,
+    return_active: bool = False,
+):
     """Mapping: fuse or aggregate the live frame into the arena."""
     vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, pose)
     if opts.fusion:
@@ -161,8 +218,10 @@ def _map_update(map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions):
             opts.active_capacity or 2 * H * W,
             opts.block_size,
             opts.visible_capacity,
+            return_active=return_active,
         )
-    return aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
+    out = aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
+    return (out, None) if return_active else out
 
 
 def slam_step(
@@ -222,13 +281,21 @@ def slam_sequence(
 
     map_state = init_map(B, capacity, dtype)
 
+    # odometry candidates can be carried from the previous fusion step:
+    # fusion at frame t compacts the active set at pose t, which is exactly
+    # the candidate set localization at frame t+1 needs (its prev_pose IS
+    # pose t) — saving a full-arena compaction per frame
+    use_cand = opts.fusion and opts.odom != "gt" and opts.reuse_actives
+
     # frame 0: identity pose unless poses are provided (icpslam.py:127-132)
     if poses_seq is None:
         pose0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
     else:
         pose0 = poses_seq[:, 0]
-    map_state = _map_update(
-        map_state, pose0, rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts
+    app_start0 = map_state.num_points
+    map_state, actives = _map_update(
+        map_state, pose0, rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts,
+        return_active=True,
     )
 
     if L == 1:
@@ -244,23 +311,42 @@ def slam_sequence(
         ),
     )
 
-    def scan_body(carry, x):
-        m, prev_pose = carry
-        rgb, depth, gt_pose = x
-        m, pose = slam_step(
-            m,
-            prev_pose,
-            rgb,
-            depth,
-            intrinsics,
-            opts,
-            gt_pose if opts.odom == "gt" else None,
-        )
-        return (m, pose), pose
+    if use_cand:
 
-    (map_state, _), poses_rest = jax.lax.scan(
-        scan_body, (map_state, pose0), xs
-    )
+        def scan_body(carry, x):
+            m, prev_pose, slots, valid_c, app_start = carry
+            rgb, depth, _ = x
+            pose = _localize(
+                m, prev_pose, rgb, depth, intrinsics, opts,
+                cand=(slots, valid_c, app_start),
+            )
+            app_start_new = m.num_points
+            m, (slots2, valid2) = _map_update(
+                m, pose, rgb, depth, intrinsics, opts, return_active=True
+            )
+            return (m, pose, slots2, valid2, app_start_new), pose
+
+        carry0 = (map_state, pose0, actives[0], actives[1], app_start0)
+    else:
+
+        def scan_body(carry, x):
+            m, prev_pose = carry
+            rgb, depth, gt_pose = x
+            m, pose = slam_step(
+                m,
+                prev_pose,
+                rgb,
+                depth,
+                intrinsics,
+                opts,
+                gt_pose if opts.odom == "gt" else None,
+            )
+            return (m, pose), pose
+
+        carry0 = (map_state, pose0)
+
+    carry_out, poses_rest = jax.lax.scan(scan_body, carry0, xs)
+    map_state = carry_out[0]
     poses = jnp.concatenate(
         [pose0[:, None], jnp.swapaxes(poses_rest, 0, 1)], axis=1
     )
