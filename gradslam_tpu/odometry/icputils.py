@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3_exp, transform_pointcloud
-from ..ops.knn import knn
+from ..ops.knn import KnnTargets, knn, prepare_targets
 
 __all__ = [
     "solve_linear_system",
@@ -103,6 +103,7 @@ def gauss_newton_solve(
     src_valid: Optional[jnp.ndarray] = None,
     tgt_valid: Optional[jnp.ndarray] = None,
     robust_delta: Optional[float] = None,
+    prepared_tgt: Optional[KnnTargets] = None,
 ):
     """One Gauss-Newton linearization of point-to-plane ICP (batched).
 
@@ -122,13 +123,18 @@ def gauss_newton_solve(
         tgt_valid: optional (B, T) target validity.
         robust_delta: optional Huber threshold on the point-to-plane
             residual; scales row weights by ``min(1, delta/|b|)``.
+        prepared_tgt: optional pre-processed targets (ops/knn.py
+            ``prepare_targets``) — hoists the loop-invariant target-side
+            KNN work out of solver loops.
 
     Returns:
         (A, b, weights, chamfer_idx): (B, S, 6), (B, S, 1), (B, S) float
         weights (binary gates times optional Huber factors), and (B, S)
         int32 association indices.
     """
-    dists, idx = knn(src_pc, tgt_pc, tgt_valid)
+    dists, idx = knn(
+        src_pc, prepared_tgt if prepared_tgt is not None else tgt_pc, tgt_valid
+    )
 
     w = jnp.ones(dists.shape, dtype=src_pc.dtype)
     if dist_thresh is not None:
@@ -164,12 +170,12 @@ def gauss_newton_solve(
 
 def _icp_common_step(
     src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp,
-    robust_delta=None,
+    robust_delta=None, prepared_tgt=None,
 ):
     """Shared per-iteration work: linearize, solve, lookahead error."""
     A, b, w, _ = gauss_newton_solve(
         src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-        robust_delta,
+        robust_delta, prepared_tgt,
     )
     xi = solve_linear_system(A, b, damp, weights=w)[..., 0]  # (B, 6)
     residual_transform = se3_exp(xi)
@@ -178,7 +184,7 @@ def _icp_common_step(
     one_step_pc = transform_pointcloud(src_pc, residual_transform)
     _, b1, w1, _ = gauss_newton_solve(
         one_step_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-        robust_delta,
+        robust_delta, prepared_tgt,
     )
     new_err = jnp.sum(w1 * b1[..., 0] ** 2, axis=-1)
     return xi, residual_transform, one_step_pc, err, new_err
@@ -216,12 +222,13 @@ def point_to_plane_ICP(
     if initial_transform is None:
         initial_transform = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
     src0 = transform_pointcloud(src_pc, initial_transform)
+    prepared = prepare_targets(tgt_pc, tgt_valid)  # loop-invariant
 
     def body(_, state):
         src, transform, damp_v = state
         xi, rt, one_step, err, new_err = _icp_common_step(
             src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-            damp_v, robust_delta,
+            damp_v, robust_delta, prepared,
         )
         accept = (new_err < err)[:, None]  # (B, 1)
         src = jnp.where(accept[..., None], one_step, src)
@@ -272,12 +279,13 @@ def point_to_plane_gradICP(
             jnp.eye(4, dtype=dtype), (nbatch, 4, 4)
         )
     src0 = transform_pointcloud(src_pc, initial_transform)
+    prepared = prepare_targets(tgt_pc, tgt_valid)  # loop-invariant
 
     def body(_, state):
         src, transform, damp_v = state
         xi, _, _, err, new_err = _icp_common_step(
             src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-            damp_v, robust_delta,
+            damp_v, robust_delta, prepared,
         )
         errdiff = jnp.clip(new_err - err, -70.0, 70.0)  # (nbatch,)
         damp_new = lambda_min + (lambda_max - lambda_min) / (

@@ -24,13 +24,14 @@ Tie-breaking matches torch: the first (lowest-index) minimum wins.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn", "knn_reference"]
+__all__ = ["knn", "knn_reference", "prepare_targets", "KnnTargets"]
 
 _SRC_TILE = 512
 _TGT_TILE = 1024
@@ -141,9 +142,51 @@ def _knn_pallas(src, tgt, tnorm, src_tile=_SRC_TILE, tgt_tile=_TGT_TILE):
     return dist[:, 0, :], idx[:, 0, :]
 
 
+class KnnTargets(NamedTuple):
+    """Pre-processed KNN target set (see :func:`prepare_targets`).
+
+    Attributes:
+        tgt: (B, T_pad, 3) padded targets (stop-gradient f32).
+        tnorm: (B, T_pad) squared norms, ``+inf`` where invalid/padding.
+        num_targets: original T (static).
+    """
+
+    tgt: jnp.ndarray
+    tnorm: jnp.ndarray
+    num_targets: int
+
+
+def prepare_targets(
+    tgt: jnp.ndarray, tgt_valid: jnp.ndarray | None = None
+) -> KnnTargets:
+    """Pads targets and bakes validity into the norm term, once.
+
+    The ICP solvers call :func:`knn` twice per iteration against the SAME
+    target set (current + lookahead association, 40 calls per frame at the
+    reference operating point); this target-side work is loop-invariant,
+    so hoist it out of the solver loop and pass the result as ``tgt``.
+    """
+    if tgt.ndim != 3 or tgt.shape[-1] != 3:
+        raise ValueError(f"tgt must be (B, T, 3), got {tgt.shape}")
+    B, T, _ = tgt.shape
+    T_pad = _round_up(max(T, _TGT_TILE), _TGT_TILE)
+    tgt_p = jnp.pad(tgt, ((0, 0), (0, T_pad - T), (0, 0)))
+    tnorm = jnp.sum(tgt_p * tgt_p, axis=-1)  # (B, T_pad)
+    valid = jnp.ones((B, T_pad), dtype=bool)
+    valid = valid.at[:, T:].set(False)
+    if tgt_valid is not None:
+        valid = valid.at[:, :T].set(tgt_valid)
+    tnorm = jnp.where(valid, tnorm, jnp.inf)
+    return KnnTargets(
+        tgt=jax.lax.stop_gradient(tgt_p.astype(jnp.float32)),
+        tnorm=jax.lax.stop_gradient(tnorm.astype(jnp.float32)),
+        num_targets=T,
+    )
+
+
 def knn(
     src: jnp.ndarray,
-    tgt: jnp.ndarray,
+    tgt: jnp.ndarray | KnnTargets,
     tgt_valid: jnp.ndarray | None = None,
     *,
     use_pallas: bool | None = None,
@@ -152,8 +195,10 @@ def knn(
 
     Args:
         src: (B, S, 3) query points.
-        tgt: (B, T, 3) target points.
-        tgt_valid: optional (B, T) bool; invalid targets never match.
+        tgt: (B, T, 3) target points, or a :class:`KnnTargets` from
+            :func:`prepare_targets` (loop-invariant fast path).
+        tgt_valid: optional (B, T) bool; invalid targets never match
+            (ignored when ``tgt`` is already prepared).
         use_pallas: force kernel choice; default auto (Pallas on TPU).
 
     Returns:
@@ -163,30 +208,31 @@ def knn(
     """
     if src.ndim != 3 or src.shape[-1] != 3:
         raise ValueError(f"src must be (B, S, 3), got {src.shape}")
-    if tgt.ndim != 3 or tgt.shape[-1] != 3:
-        raise ValueError(f"tgt must be (B, T, 3), got {tgt.shape}")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
+        if isinstance(tgt, KnnTargets):
+            T = tgt.num_targets
+            d, i = knn_reference(
+                src, tgt.tgt[:, :T], jnp.isfinite(tgt.tnorm[:, :T])
+            )
+            return d, i
         return knn_reference(src, tgt, tgt_valid)
 
+    if isinstance(tgt, KnnTargets):
+        tgt_p, tnorm = tgt.tgt, tgt.tnorm
+    else:
+        if tgt.ndim != 3 or tgt.shape[-1] != 3:
+            raise ValueError(f"tgt must be (B, T, 3), got {tgt.shape}")
+        prepared = prepare_targets(tgt, tgt_valid)
+        tgt_p, tnorm = prepared.tgt, prepared.tnorm
+
     B, S, _ = src.shape
-    T = tgt.shape[1]
+    T_pad = tgt_p.shape[1]
     S_pad = _round_up(max(S, _SRC_TILE), _SRC_TILE)
-    T_pad = _round_up(max(T, _TGT_TILE), _TGT_TILE)
 
     src_p = jnp.pad(src, ((0, 0), (0, S_pad - S), (0, 0)))
-    tgt_p = jnp.pad(tgt, ((0, 0), (0, T_pad - T), (0, 0)))
-    tnorm = jnp.sum(tgt_p * tgt_p, axis=-1)  # (B, T_pad)
-    valid = jnp.ones((B, T_pad), dtype=bool)
-    valid = valid.at[:, T:].set(False)
-    if tgt_valid is not None:
-        valid = valid.at[:, :T].set(tgt_valid)
-    tnorm = jnp.where(valid, tnorm, jnp.inf)
-
     src_p = jax.lax.stop_gradient(src_p.astype(jnp.float32))
-    tgt_p = jax.lax.stop_gradient(tgt_p.astype(jnp.float32))
-    tnorm = jax.lax.stop_gradient(tnorm.astype(jnp.float32))
 
     # Chunk very large target sets: the (T, 8)/(T, 1) VMEM buffers are
     # lane-padded 16x by Mosaic, so a single kernel invocation is capped
