@@ -178,6 +178,11 @@ class Pointclouds:
         return self._num_points
 
     @property
+    def num_features(self):
+        """Feature channel count (0 when absent) — reference :669."""
+        return 0 if self._features is None else self._features.shape[-1]
+
+    @property
     def nonpad_mask(self):
         """(B, N) bool mask of valid (non-padding) entries."""
         B, N = self._points.shape[:2]
@@ -381,6 +386,8 @@ class Pointclouds:
     rotate_ = rotate
     transform_ = transform
     pinhole_projection_ = pinhole_projection
+    offset_ = offset
+    scale_ = scale
 
     # -- append ----------------------------------------------------------
     def append_points(self, other: "Pointclouds") -> "Pointclouds":
@@ -451,6 +458,30 @@ class Pointclouds:
             cast(self._features),
             self._num_points,
         )
+
+    # -- device movement (reference to/cpu/cuda, pointclouds.py:1027-1115;
+    #    JAX devices replace torch's cpu/cuda split) ----------------------
+    def to(self, device):
+        """Moves all tensors to ``device`` (a jax.Device or platform str)."""
+        if isinstance(device, str):
+            device = jax.devices(device)[0]
+        put = lambda x: None if x is None else jax.device_put(x, device)
+        return Pointclouds._from_padded(
+            put(self._points),
+            put(self._normals),
+            put(self._colors),
+            put(self._features),
+            put(self._num_points),
+        )
+
+    def cpu(self):
+        """Moves to the host CPU device."""
+        return self.to("cpu")
+
+    def cuda(self):
+        """Moves to the first accelerator device (TPU here; named for
+        reference API compatibility)."""
+        return self.to(jax.devices()[0])
 
     # -- viz export ------------------------------------------------------
     def open3d(self, index: int = 0):

@@ -253,6 +253,21 @@ class RGBDImages:
     def w(self):
         return self._rgb.shape[3]
 
+    @property
+    def cdim(self):
+        """Index of the channel dim in the active layout (reference
+        rgbdimages.py: 2 when channels_first else 4)."""
+        return 2 if self.channels_first else 4
+
+    @property
+    def pixel_pos(self):
+        """(B, L, H, W, 3) homogeneous pixel positions ``[u, v, 1]``
+        (reference rgbdimages.py:648-661), in the active layout."""
+        B, L, H, W = self.shape
+        rays = pixel_rays(H, W, self._rgb.dtype)  # (H, W, 3)
+        pp = jnp.broadcast_to(rays[None, None], (B, L, H, W, 3))
+        return self._layout(pp)
+
     # -- raw data -------------------------------------------------------
     def _layout(self, x):
         return _to_channels_first(x) if self.channels_first else x
@@ -370,6 +385,38 @@ class RGBDImages:
         out.channels_first = True
         out._cache = dict(self._cache)
         return out
+
+    def to_channels_last_(self):
+        """In-place layout toggle (reference rgbdimages.py:575). Storage is
+        always channels-last internally; only the view flag flips."""
+        self.channels_first = False
+        return self
+
+    def to_channels_first_(self):
+        """In-place layout toggle (reference rgbdimages.py:617)."""
+        self.channels_first = True
+        return self
+
+    def to(self, device):
+        """Moves all tensors to ``device`` (a jax.Device or platform str)."""
+        if isinstance(device, str):
+            device = jax.devices(device)[0]
+        put = lambda x: None if x is None else jax.device_put(x, device)
+        out = RGBDImages(
+            put(self._rgb), put(self._depth), put(self._intrinsics),
+            put(self._poses),
+        )
+        out.channels_first = self.channels_first
+        return out
+
+    def cpu(self):
+        """Moves to the host CPU device."""
+        return self.to("cpu")
+
+    def cuda(self):
+        """Moves to the first accelerator device (TPU here; named for
+        reference API compatibility)."""
+        return self.to(jax.devices()[0])
 
     def astype(self, dtype):
         out = RGBDImages(

@@ -181,3 +181,37 @@ class TestCloneDetach:
         np.testing.assert_array_equal(
             np.asarray(sub.num_points_per_pointcloud), [8]
         )
+
+
+class TestParityShims:
+    def test_num_features(self):
+        import numpy as np
+
+        pc = Pointclouds(
+            points=[np.zeros((4, 3), np.float32)],
+            features=[np.ones((4, 2), np.float32)],
+        )
+        assert pc.num_features == 2
+        assert Pointclouds(points=[np.zeros((4, 3), np.float32)]).num_features == 0
+
+    def test_inplace_aliases_match_functional(self):
+        import numpy as np
+
+        pc = Pointclouds(points=[np.arange(12, dtype=np.float32).reshape(4, 3)])
+        np.testing.assert_allclose(
+            np.asarray(pc.offset_(1.0).points_padded),
+            np.asarray(pc.offset(1.0).points_padded),
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc.scale_(2.0).points_padded),
+            np.asarray(pc.scale(2.0).points_padded),
+        )
+
+    def test_device_movement(self):
+        import jax
+        import numpy as np
+
+        pc = Pointclouds(points=[np.zeros((4, 3), np.float32)]).cpu()
+        assert pc.points_padded.devices() == {jax.devices("cpu")[0]}
+        back = pc.cuda()
+        assert back.points_padded.devices() == {jax.devices()[0]}

@@ -104,3 +104,43 @@ class TestRGBDImagesAPI:
     def test_astype(self, rgbd):
         r16 = rgbd.astype(jnp.bfloat16)
         assert r16.rgb_image.dtype == jnp.bfloat16
+
+
+class TestParityShims:
+    def _mk(self):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        return RGBDImages(
+            jnp.asarray(rng.rand(2, 3, 8, 10, 3).astype(np.float32)),
+            jnp.asarray(rng.rand(2, 3, 8, 10, 1).astype(np.float32)),
+            jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (2, 1, 1, 1))),
+        )
+
+    def test_cdim_and_inplace_layout_toggles(self):
+        rgbd = self._mk()
+        assert rgbd.cdim == 4
+        assert rgbd.to_channels_first_() is rgbd
+        assert rgbd.cdim == 2
+        assert rgbd.rgb_image.shape == (2, 3, 3, 8, 10)
+        assert rgbd.to_channels_last_() is rgbd
+        assert rgbd.rgb_image.shape == (2, 3, 8, 10, 3)
+
+    def test_pixel_pos(self):
+        import numpy as np
+
+        rgbd = self._mk()
+        pp = np.asarray(rgbd.pixel_pos)
+        assert pp.shape == (2, 3, 8, 10, 3)
+        # [u(col), v(row), 1] ordering (reference rgbdimages.py:654-661)
+        np.testing.assert_allclose(pp[0, 0, 2, 7], [7.0, 2.0, 1.0])
+        np.testing.assert_allclose(pp[..., 2], 1.0)
+
+    def test_device_movement(self):
+        import jax
+
+        rgbd = self._mk().cpu()
+        assert rgbd.rgb_image.devices() == {jax.devices("cpu")[0]}
+        back = rgbd.to(jax.devices()[0])
+        assert back.rgb_image.devices() == {jax.devices()[0]}
+        assert back.channels_first == rgbd.channels_first
