@@ -1,0 +1,79 @@
+"""Loop-closure demo: remove accumulated odometry drift on a synthetic loop.
+
+A camera orbits a scene and returns to its starting view; odometry noise
+is injected into every frame-to-frame increment, so the raw trajectory
+drifts. `close_loops` detects the revisit (pose proximity), verifies it
+with one batched gradICP solve, and corrects the whole trajectory with
+pose-graph Gauss-Newton.
+
+    python examples/loop_closure.py [--frames 17] [--drift 0.02]
+"""
+
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+
+import numpy as np
+import jax.numpy as jnp
+
+from gradslam_tpu.geometry import se3_exp
+from gradslam_tpu.slam import close_loops
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--frames", type=int, default=17)
+parser.add_argument("--points", type=int, default=512)
+parser.add_argument("--drift", type=float, default=0.02)
+parser.add_argument("--seed", type=int, default=0)
+args = parser.parse_args()
+
+rng = np.random.RandomState(args.seed)
+L, N = args.frames, args.points
+
+# a world cloud and a circular trajectory that closes on itself
+world = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+world[:, 2] += 4.0
+normals = rng.randn(N, 3).astype(np.float32)
+normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+true_poses, pts, nrms = [], [], []
+for k in range(L):
+    ang = 2 * np.pi * k / (L - 1)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = 0.2 * np.array([np.cos(ang) - 1.0, np.sin(ang), 0.0])
+    true_poses.append(T)
+    Tinv = np.linalg.inv(T)
+    pts.append(world @ Tinv[:3, :3].T + Tinv[:3, 3])
+    nrms.append(normals @ Tinv[:3, :3].T)
+true_poses = np.stack(true_poses)
+
+# drifted odometry: noise on every increment, accumulated
+drifted = [true_poses[0]]
+for k in range(1, L):
+    inc = np.linalg.inv(true_poses[k - 1]) @ true_poses[k]
+    xi = rng.randn(6).astype(np.float32) * args.drift
+    drifted.append(drifted[-1] @ (np.asarray(se3_exp(jnp.asarray(xi))) @ inc))
+drifted = np.stack(drifted).astype(np.float32)
+
+refined, cand, w = close_loops(
+    jnp.asarray(drifted),
+    jnp.asarray(np.stack(pts)),
+    jnp.asarray(np.stack(nrms)),
+    jnp.ones((L, N), bool),
+    max_candidates=8,
+    min_separation=max(3, L // 3),
+    max_distance=0.3,
+)
+
+err = lambda P: np.linalg.norm(
+    np.asarray(P)[:, :3, 3] - true_poses[:, :3, 3], axis=-1
+)
+accepted = np.asarray(cand.edges)[np.asarray(w) > 0]
+print(f"loop edges accepted: {accepted.tolist()}")
+# the closure constrains the revisited frames directly; mid-loop frames
+# remain odometry-noise-bound (no revisit observes them)
+print(
+    f"final-frame error: {err(drifted)[-1]:.4f} -> {err(refined)[-1]:.4f} m"
+)
+print(f"mean error:        {err(drifted).mean():.4f} -> {err(refined).mean():.4f} m")

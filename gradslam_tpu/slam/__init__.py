@@ -1,4 +1,10 @@
 from .icpslam import ICPSLAM, SLAMOptions, slam_sequence, slam_step
+from .loopclosure import (
+    LoopCandidates,
+    close_loops,
+    detect_loop_closures,
+    verify_loop_closures,
+)
 from .pointfusion import PointFusion
 from .fusionutils import (
     aggregate_map_dense,
@@ -35,4 +41,8 @@ __all__ = [
     "fuse_with_map",
     "update_map_fusion",
     "update_map_aggregate",
+    "LoopCandidates",
+    "detect_loop_closures",
+    "verify_loop_closures",
+    "close_loops",
 ]

@@ -1,0 +1,247 @@
+"""Loop closure: detection, ICP verification, and pose-graph correction.
+
+Net-new capability beyond the reference (which processes frames strictly
+serially and never revisits — gradslam/slam/icpslam.py:125): odometry
+drift accumulates without bound on long trajectories; closing loops
+against revisited views removes it. TPU-first design: detection is a
+dense (L, L) pose-proximity test + static-shape ``top_k`` (no
+data-dependent candidate lists), verification runs ONE batched gradICP
+solve over all K candidate pairs at once (the solvers are natively
+batched), and correction reuses the distributed pose-graph Gauss-Newton
+(parallel/pose_refine.py — edges shard over a mesh, Hessians psum).
+
+Everything is jit-compatible; rejected/padded candidates carry weight 0
+through the pose graph (static shapes end to end).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    inverse_transformation,
+    relative_transformation,
+    transform_pointcloud,
+)
+from ..odometry.icputils import point_to_plane_gradICP
+from ..parallel.pose_refine import PoseGraph, pose_graph_refine
+
+__all__ = [
+    "LoopCandidates",
+    "detect_loop_closures",
+    "verify_loop_closures",
+    "close_loops",
+]
+
+
+class LoopCandidates(NamedTuple):
+    """K candidate loop-closure pairs (static shape; invalid slots have
+    ``valid = False``).
+
+    Attributes:
+        edges: (K, 2) int32 keyframe index pairs (i < j).
+        valid: (K,) bool.
+    """
+
+    edges: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _rotation_angle(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation angle of (..., 3, 3) matrices (radians)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    return jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def detect_loop_closures(
+    poses: jnp.ndarray,
+    max_candidates: int = 8,
+    min_separation: int = 5,
+    max_distance: float = 0.5,
+    max_angle: float = 1.0472,  # 60 degrees
+) -> LoopCandidates:
+    """Finds keyframe pairs whose (drifted) poses revisit the same view.
+
+    Dense (L, L) proximity test — translation distance below
+    ``max_distance`` AND relative rotation below ``max_angle`` AND
+    temporal separation of at least ``min_separation`` frames — then the
+    ``max_candidates`` closest pairs are selected with ``top_k``
+    (deterministic, static shape).
+
+    Args:
+        poses: (L, 4, 4) world-from-keyframe poses (e.g. SLAM output).
+
+    Returns:
+        LoopCandidates with (K, 2) index pairs, i < j.
+    """
+    L = poses.shape[0]
+    t = poses[..., :3, 3]
+    dist = jnp.linalg.norm(t[:, None] - t[None, :], axis=-1)  # (L, L)
+    R = poses[..., :3, :3]
+    rel_ang = _rotation_angle(
+        jnp.einsum("iab,jac->ijbc", R, R)  # R_i^T R_j
+    )
+    sep = jnp.arange(L)[None, :] - jnp.arange(L)[:, None]  # j - i
+    ok = (
+        (sep >= min_separation)
+        & (dist < max_distance)
+        & (rel_ang < max_angle)
+    )
+    score = jnp.where(ok, -dist, -jnp.inf).reshape(-1)
+    k = min(max_candidates, L * L)
+    top, flat_idx = jax.lax.top_k(score, k)
+    i = (flat_idx // L).astype(jnp.int32)
+    j = (flat_idx % L).astype(jnp.int32)
+    return LoopCandidates(
+        edges=jnp.stack([i, j], axis=-1), valid=jnp.isfinite(top)
+    )
+
+
+def verify_loop_closures(
+    candidates: LoopCandidates,
+    poses: jnp.ndarray,
+    frame_points: jnp.ndarray,
+    frame_normals: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    numiters: int = 20,
+    dist_thresh: Optional[float] = None,
+    inlier_dist: float = 0.05,
+    min_inlier_frac: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Refines each candidate's relative pose with ICP and scores it.
+
+    All K candidates solve in ONE batched gradICP call: source = frame j's
+    points brought into frame i via the current (drifted) estimate as
+    initialization, target = frame i's points. A candidate is accepted
+    when at least ``min_inlier_frac`` of valid source points land within
+    ``inlier_dist`` of their nearest target after alignment.
+
+    Args:
+        poses: (L, 4, 4) current pose estimates.
+        frame_points / frame_normals: (L, N, 3) per-keyframe CAMERA-frame
+            point/normal sets (e.g. strided vertex-map subsamples).
+        frame_valid: (L, N) bool.
+
+    Returns:
+        (measurements (K, 4, 4), weights (K,)): relative transforms
+        ``Z_ij ~ T_i^-1 T_j`` and acceptance weights (0 for rejected or
+        invalid candidates) — ready for :class:`PoseGraph` edges.
+    """
+    i = candidates.edges[:, 0]
+    j = candidates.edges[:, 1]
+
+    # initial relative pose from the current trajectory
+    Z0 = jax.vmap(
+        lambda Ti, Tj: jnp.matmul(inverse_transformation(Ti), Tj)
+    )(poses[i], poses[j])  # (K, 4, 4)
+
+    src = frame_points[j]  # (K, N, 3) camera frame of j
+    src_valid = frame_valid[j]
+    tgt = frame_points[i]
+    tgt_n = frame_normals[i]
+    tgt_valid = frame_valid[i]
+
+    # ICP aligns src (frame j points) onto tgt (frame i points); with the
+    # camera-frame clouds the recovered transform IS Z_ij
+    Z = point_to_plane_gradICP(
+        src,
+        tgt,
+        tgt_n,
+        Z0,
+        numiters=numiters,
+        dist_thresh=dist_thresh,
+        src_valid=src_valid.astype(src.dtype),
+        tgt_valid=tgt_valid,
+    )  # (K, 4, 4)
+
+    # inlier scoring after alignment: nearest-neighbor distances of the
+    # aligned source points
+    from ..ops.knn import knn
+
+    aligned = transform_pointcloud(src, Z)
+    sq_d, _ = knn(aligned, tgt, tgt_valid)
+    inlier = (sq_d < inlier_dist**2) & src_valid & jnp.isfinite(sq_d)
+    n_valid = jnp.maximum(jnp.sum(src_valid, axis=-1), 1)
+    frac = jnp.sum(inlier, axis=-1) / n_valid
+    accept = (frac >= min_inlier_frac) & candidates.valid
+    return Z, accept.astype(src.dtype)
+
+
+def close_loops(
+    poses: jnp.ndarray,
+    frame_points: jnp.ndarray,
+    frame_normals: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    max_candidates: int = 8,
+    min_separation: int = 5,
+    max_distance: float = 0.5,
+    max_angle: float = 1.0472,
+    icp_numiters: int = 20,
+    inlier_dist: float = 0.05,
+    min_inlier_frac: float = 0.5,
+    refine_iters: int = 10,
+    odometry_weight: float = 1.0,
+    loop_weight: float = 1.0,
+) -> Tuple[jnp.ndarray, LoopCandidates, jnp.ndarray]:
+    """Detect, verify, and correct: the full loop-closure pipeline.
+
+    Builds a pose graph from consecutive-frame odometry edges (measured
+    from the input trajectory) plus ICP-verified loop edges, and runs
+    Gauss-Newton (parallel/pose_refine.py). With no accepted loop edges
+    the input trajectory is already the optimum of the chain graph and is
+    returned (numerically) unchanged.
+
+    Args:
+        poses: (L, 4, 4) drifted trajectory (single sequence; vmap for a
+            batch).
+        frame_points / frame_normals / frame_valid: per-keyframe
+            camera-frame point sets, (L, N, 3) / (L, N, 3) / (L, N).
+
+    Returns:
+        (refined_poses (L, 4, 4), candidates, loop_weights (K,)).
+    """
+    L = poses.shape[0]
+    cand = detect_loop_closures(
+        poses,
+        max_candidates=max_candidates,
+        min_separation=min_separation,
+        max_distance=max_distance,
+        max_angle=max_angle,
+    )
+    Z_loop, w_loop = verify_loop_closures(
+        cand,
+        poses,
+        frame_points,
+        frame_normals,
+        frame_valid,
+        numiters=icp_numiters,
+        inlier_dist=inlier_dist,
+        min_inlier_frac=min_inlier_frac,
+    )
+
+    # odometry edges from the input trajectory
+    edges_odo = jnp.stack(
+        [jnp.arange(L - 1), jnp.arange(1, L)], axis=-1
+    ).astype(jnp.int32)
+    Z_odo = relative_transformation(
+        poses[:-1], poses[1:], orthogonal_rotations=True
+    )
+
+    graph = PoseGraph(
+        poses=poses,
+        edges=jnp.concatenate([edges_odo, cand.edges], axis=0),
+        measurements=jnp.concatenate([Z_odo, Z_loop], axis=0),
+        weights=jnp.concatenate(
+            [
+                jnp.full((L - 1,), odometry_weight, poses.dtype),
+                w_loop * loop_weight,
+            ]
+        ),
+    )
+    refined = pose_graph_refine(graph, num_iters=refine_iters)
+    return refined, cand, w_loop

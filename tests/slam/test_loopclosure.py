@@ -1,0 +1,153 @@
+"""Loop closure: synthetic drifted loop is detected, verified, corrected."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gradslam_tpu.geometry import se3_exp
+from gradslam_tpu.slam import (
+    close_loops,
+    detect_loop_closures,
+    verify_loop_closures,
+)
+
+
+def _make_loop(L=9, n_pts=256, drift=0.02, seed=0):
+    """Camera orbits a point cloud and returns to (near) the start.
+
+    Returns (true_poses, drifted_poses, frame_points, frame_normals,
+    frame_valid) — per-frame CAMERA-frame observations of a fixed world
+    cloud, with odometry drift accumulated into the pose estimates.
+    """
+    rng = np.random.RandomState(seed)
+    world = rng.uniform(-1.0, 1.0, (n_pts, 3)).astype(np.float32)
+    world[:, 2] += 4.0  # in front of the ring of cameras
+    normals = rng.randn(n_pts, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+    true_poses, frames, frame_normals = [], [], []
+    for k in range(L):
+        # small circular trajectory; last frame returns near the first
+        ang = 2 * np.pi * k / (L - 1)
+        t = 0.15 * np.array([np.cos(ang) - 1.0, np.sin(ang), 0.0])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = t
+        true_poses.append(T)
+        Tinv = np.linalg.inv(T)
+        frames.append(world @ Tinv[:3, :3].T + Tinv[:3, 3])
+        frame_normals.append(normals @ Tinv[:3, :3].T)
+    true_poses = np.stack(true_poses)
+
+    # drifted trajectory: perturb each odometry increment, accumulate
+    drifted = [true_poses[0]]
+    for k in range(1, L):
+        inc = np.linalg.inv(true_poses[k - 1]) @ true_poses[k]
+        xi = rng.randn(6).astype(np.float32) * drift
+        noisy = np.asarray(se3_exp(jnp.asarray(xi))) @ inc
+        drifted.append(drifted[-1] @ noisy)
+    drifted = np.stack(drifted).astype(np.float32)
+
+    return (
+        jnp.asarray(true_poses),
+        jnp.asarray(drifted),
+        jnp.asarray(np.stack(frames)),
+        jnp.asarray(np.stack(frame_normals)),
+        jnp.ones((L, n_pts), bool),
+    )
+
+
+def _pose_err(a, b):
+    return float(
+        jnp.linalg.norm(a[..., :3, 3] - b[..., :3, 3], axis=-1).max()
+    )
+
+
+class TestDetect:
+    def test_finds_the_loop_pair(self):
+        true_poses, drifted, *_ = _make_loop()
+        cand = detect_loop_closures(
+            drifted, max_candidates=4, min_separation=5, max_distance=0.3
+        )
+        got = np.asarray(cand.edges)[np.asarray(cand.valid)]
+        assert len(got) >= 1
+        # the closing pair (0, L-1) must be among the candidates
+        assert any((i == 0 and j == 8) for i, j in got)
+
+    def test_min_separation_excludes_neighbors(self):
+        _, drifted, *_ = _make_loop()
+        cand = detect_loop_closures(
+            drifted, max_candidates=8, min_separation=5, max_distance=10.0
+        )
+        got = np.asarray(cand.edges)[np.asarray(cand.valid)]
+        assert (got[:, 1] - got[:, 0] >= 5).all()
+
+    def test_no_candidates_on_straight_line(self):
+        L = 8
+        poses = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+        poses[:, 0, 3] = np.arange(L)  # walking away, never returns
+        cand = detect_loop_closures(
+            jnp.asarray(poses), max_candidates=4, min_separation=3,
+            max_distance=0.5,
+        )
+        assert not bool(cand.valid.any())
+
+
+class TestVerifyAndClose:
+    def test_verification_recovers_relative_pose(self):
+        true_poses, drifted, pts, nrm, valid = _make_loop()
+        cand = detect_loop_closures(
+            drifted, max_candidates=4, min_separation=5, max_distance=0.3
+        )
+        Z, w = verify_loop_closures(cand, drifted, pts, nrm, valid)
+        got = np.asarray(cand.edges)
+        accepted = np.asarray(w) > 0
+        assert accepted.any()
+        # for each accepted pair the ICP measurement must match the TRUE
+        # relative pose (clouds are exact views of the same world points)
+        for k in np.nonzero(accepted)[0]:
+            i, j = got[k]
+            Z_true = np.linalg.inv(np.asarray(true_poses[i])) @ np.asarray(
+                true_poses[j]
+            )
+            np.testing.assert_allclose(
+                np.asarray(Z[k]), Z_true, atol=5e-3
+            )
+
+    def test_close_loops_reduces_drift(self):
+        true_poses, drifted, pts, nrm, valid = _make_loop()
+        err_before = _pose_err(drifted, true_poses)
+        refined, cand, w = close_loops(
+            drifted, pts, nrm, valid,
+            max_candidates=4, min_separation=5, max_distance=0.3,
+        )
+        assert bool((w > 0).any()), "no loop edges accepted"
+        err_after = _pose_err(refined, true_poses)
+        assert err_after < 0.5 * err_before, (
+            f"drift not reduced: {err_before:.4f} -> {err_after:.4f}"
+        )
+
+    def test_no_loops_is_a_near_noop(self):
+        # straight-line trajectory: no candidates, chain graph already
+        # optimal -> refined stays at the input
+        L, n = 8, 128
+        rng = np.random.RandomState(1)
+        world = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        world[:, 2] += 4
+        poses, pts, nrm = [], [], []
+        for k in range(L):
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = 0.1 * k
+            poses.append(T)
+            Tinv = np.linalg.inv(T)
+            pts.append(world @ Tinv[:3, :3].T + Tinv[:3, 3])
+            nrm.append(np.tile([0, 0, 1.0], (n, 1)).astype(np.float32))
+        poses = jnp.asarray(np.stack(poses))
+        refined, cand, w = close_loops(
+            poses,
+            jnp.asarray(np.stack(pts)),
+            jnp.asarray(np.stack(nrm)),
+            jnp.ones((L, n), bool),
+            max_candidates=4, min_separation=3, max_distance=0.2,
+        )
+        assert not bool((w > 0).any())
+        assert _pose_err(refined, poses) < 1e-4
