@@ -139,6 +139,45 @@ class TestSyntheticRecovery:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.max(jnp.abs(g))) > 0.0
 
+    def test_gradicp_gradcheck_float64(self):
+        """Float64 finite-difference gradcheck of the FULL gradICP solve —
+        the check the reference ships commented out
+        (tests/odometry/test_icputils.py:244,510-534). AD gradients of a
+        trajectory-style loss w.r.t. the source points must match central
+        differences. (KNN association indices are piecewise-constant; the
+        perturbation is small enough not to flip any association.)"""
+        import jax
+
+        with jax.enable_x64(True):
+            rng = np.random.RandomState(3)
+            src = jnp.asarray(rng.uniform(-1, 1, (1, 24, 3)))
+            T_true = se3_exp(
+                jnp.asarray([0.02, -0.01, 0.015, 0.05, -0.04, 0.03])
+            )
+            tgt = transform_pointcloud(src, T_true[None])
+            nrm = rng.randn(1, 24, 3)
+            nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+            from gradslam_tpu.geometry import transform_normals
+
+            tgt_nrm = transform_normals(jnp.asarray(nrm), T_true[None])
+
+            def loss(s):
+                T = point_to_plane_gradICP(s, tgt, tgt_nrm, numiters=4)
+                return jnp.sum(T[:, :3, 3] ** 2) + jnp.sum(T[:, :3, :3])
+
+            g = np.asarray(jax.grad(loss)(src))
+            eps = 1e-6
+            for i, j in [(0, 0), (5, 1), (11, 2), (17, 0), (23, 1)]:
+                d = np.zeros((1, 24, 3))
+                d[0, i, j] = eps
+                fd = (
+                    float(loss(src + d)) - float(loss(src - d))
+                ) / (2 * eps)
+                np.testing.assert_allclose(
+                    g[0, i, j], fd, rtol=5e-4, atol=1e-8,
+                    err_msg=f"grad mismatch at point {i} coord {j}",
+                )
+
     def test_batched_consistency(self, msrd_data):
         # solving a batch of 2 identical problems gives identical answers
         src, nrm = golden_cloud(msrd_data, stride=11)
