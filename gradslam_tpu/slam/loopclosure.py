@@ -35,6 +35,7 @@ __all__ = [
     "detect_loop_closures",
     "verify_loop_closures",
     "close_loops",
+    "close_loops_rgbd",
 ]
 
 
@@ -245,3 +246,56 @@ def close_loops(
     )
     refined = pose_graph_refine(graph, num_iters=refine_iters)
     return refined, cand, w_loop
+
+
+def close_loops_rgbd(
+    rgb_seq: jnp.ndarray,
+    depth_seq: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    poses: jnp.ndarray,
+    dsratio: int = 4,
+    **kwargs,
+) -> jnp.ndarray:
+    """Loop-closes a SLAM trajectory directly from the RGB-D inputs.
+
+    Convenience wrapper over :func:`close_loops`: per-keyframe
+    camera-frame clouds are the strided-subsampled vertex/normal maps
+    (the same downsampling the odometry uses). One call after
+    ``slam_sequence``:
+
+        map_state, poses = slam_sequence(rgb, depth, K, None, opts, cap)
+        poses = close_loops_rgbd(rgb, depth, K, poses)
+
+    Args:
+        rgb_seq: (B, L, H, W, 3); depth_seq: (B, L, H, W, 1).
+        intrinsics: (B, 1, 4, 4); poses: (B, L, 4, 4) recovered trajectory.
+        dsratio: vertex-map subsampling stride.
+        **kwargs: forwarded to :func:`close_loops` (detection thresholds,
+            ICP iterations, weights).
+
+    Returns:
+        (B, L, 4, 4) refined trajectory.
+    """
+    from ..structures.rgbdimages import (
+        compute_normal_map,
+        compute_vertex_map,
+        valid_depth_mask,
+    )
+
+    B, L, H, W, _ = rgb_seq.shape
+    vm = compute_vertex_map(depth_seq, intrinsics)  # (B, L, H, W, 3)
+    valid = valid_depth_mask(depth_seq)
+    nm = compute_normal_map(vm, valid)
+    sl = (slice(None), slice(None), slice(None, None, dsratio),
+          slice(None, None, dsratio))
+    pts = vm[sl].reshape(B, L, -1, 3)
+    nrm = nm[sl].reshape(B, L, -1, 3)
+    val = valid[sl].reshape(B, L, -1)
+
+    # host-level loop over the (small) batch: keeps the batched-ICP
+    # verification and the Pallas KNN at their native rank
+    refined = [
+        close_loops(poses[b], pts[b], nrm[b], val[b], **kwargs)[0]
+        for b in range(B)
+    ]
+    return jnp.stack(refined)

@@ -151,3 +151,33 @@ class TestVerifyAndClose:
         )
         assert not bool((w > 0).any())
         assert _pose_err(refined, poses) < 1e-4
+
+
+class TestRGBDWrapper:
+    def test_close_loops_rgbd_runs_on_slam_output(self):
+        """End-to-end: golden clip -> slam_sequence -> close_loops_rgbd."""
+        import pathlib
+
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+        from gradslam_tpu.slam import close_loops_rgbd
+
+        d = pathlib.Path(__file__).parents[1] / "data" / "msrd_b2s3"
+        colors = jnp.asarray(np.load(d / "colors.npy").astype(np.float32))
+        depths = jnp.asarray(np.load(d / "depths.npy").astype(np.float32))
+        K = jnp.asarray(np.load(d / "intrinsics.npy").astype(np.float32))
+        opts = SLAMOptions(odom="gradicp", numiters=8, fusion=True)
+        B, L, H, W = colors.shape[:4]
+        _, poses = slam_sequence(colors, depths, K, None, opts, L * H * W)
+        refined = close_loops_rgbd(
+            colors, depths, K, poses,
+            min_separation=2, max_distance=0.5, max_candidates=2,
+        )
+        assert refined.shape == poses.shape
+        # the golden clip barely moves: refinement stays near the input
+        # (loop edges, if any, agree with odometry)
+        terr = np.linalg.norm(
+            np.asarray(refined)[..., :3, 3] - np.asarray(poses)[..., :3, 3],
+            axis=-1,
+        )
+        assert terr.max() < 0.02
+        assert np.isfinite(np.asarray(refined)).all()
