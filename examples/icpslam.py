@@ -49,11 +49,15 @@ def main():
         height=args.height,
         width=args.width,
     )
-    batch = [dataset[i] for i in range(min(args.batch_size, len(dataset)))]
-    colors = np.stack([b[0] for b in batch])
-    depths = np.stack([b[1] for b in batch])
-    intrinsics = np.stack([b[2] for b in batch])
-    poses = np.stack([b[3] for b in batch])
+    from gradslam_tpu.datasets import DataLoader
+
+    loader = DataLoader(
+        dataset,
+        batch_size=min(args.batch_size, len(dataset)),
+        num_workers=4,
+        drop_last=False,
+    )
+    colors, depths, intrinsics, poses, *_ = next(iter(loader))
 
     rgbdimages = RGBDImages(colors, depths, intrinsics, poses)
     slam = ICPSLAM(odom=args.odometry)
