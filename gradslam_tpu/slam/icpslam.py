@@ -39,7 +39,15 @@ from .fusionutils import (
     fusion_update_compact,
 )
 
-__all__ = ["ICPSLAM", "SLAMOptions", "slam_step", "slam_sequence"]
+__all__ = [
+    "ICPSLAM",
+    "SLAMOptions",
+    "SLAMState",
+    "slam_step",
+    "slam_init_state",
+    "slam_step_state",
+    "slam_sequence",
+]
 
 
 class SLAMOptions(NamedTuple):
@@ -254,6 +262,106 @@ def slam_step(
     return new_map, pose
 
 
+class SLAMState(NamedTuple):
+    """Incremental SLAM state: everything the next frame needs.
+
+    The scan carry of :func:`slam_sequence`, exposed for online /
+    streaming use: the arena, the last pose, and the odometry-candidate
+    set carried from the previous fusion step (so the incremental step
+    pays the same per-frame cost as the fused scan, without a full-arena
+    compaction per call).
+
+    Attributes:
+        map_state: the arena.
+        pose: (B, 4, 4) last frame's pose.
+        cand_slots / cand_valid: (B, A) compacted fusion active set.
+        app_start: (B,) first arena slot appended by the last frame.
+    """
+
+    map_state: MapState
+    pose: jnp.ndarray
+    cand_slots: jnp.ndarray
+    cand_valid: jnp.ndarray
+    app_start: jnp.ndarray
+
+
+def slam_init_state(
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    opts: SLAMOptions,
+    capacity: int,
+    pose0: Optional[jnp.ndarray] = None,
+) -> SLAMState:
+    """Maps the first frame into a fresh arena (reference icpslam.py:127-132).
+
+    Args:
+        rgb / depth: (B, H, W, 3/1) the first frame.
+        pose0: (B, 4, 4) first-frame pose (identity when None).
+    """
+    B, H, W, _ = rgb.shape
+    dtype = rgb.dtype
+    map_state = init_map(B, capacity, dtype)
+    if pose0 is None:
+        pose0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    A = opts.active_capacity or 2 * H * W
+    app_start = map_state.num_points
+    if opts.fusion:
+        map_state, (slots, valid) = _map_update(
+            map_state, pose0, rgb, depth, intrinsics, opts, return_active=True
+        )
+    else:
+        map_state = _map_update(map_state, pose0, rgb, depth, intrinsics, opts)
+        slots = jnp.zeros((B, A), jnp.int32)
+        valid = jnp.zeros((B, A), bool)
+    return SLAMState(map_state, pose0, slots, valid, app_start)
+
+
+def slam_step_state(
+    state: SLAMState,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    opts: SLAMOptions,
+    gt_pose: Optional[jnp.ndarray] = None,
+) -> SLAMState:
+    """One SLAM step on a :class:`SLAMState` (the scan body).
+
+    With fusion + ICP odometry this is the fast path: odometry candidates
+    come from the carried fusion active set instead of a full-arena
+    compaction. Works for every ``opts`` combination (gt odometry and
+    aggregate mapping fall back to the exact full paths).
+    """
+    if opts.odom == "gt":
+        if gt_pose is None:
+            raise ValueError("gt odometry requires gt_pose")
+        pose = gt_pose
+    elif opts.fusion and opts.reuse_actives:
+        pose = _localize(
+            state.map_state, state.pose, rgb, depth, intrinsics, opts,
+            cand=(state.cand_slots, state.cand_valid, state.app_start),
+        )
+    else:
+        pose = _localize(
+            state.map_state, state.pose, rgb, depth, intrinsics, opts
+        )
+    app_start = state.map_state.num_points
+    if opts.fusion:
+        m, (slots, valid) = _map_update(
+            state.map_state, pose, rgb, depth, intrinsics, opts,
+            return_active=True,
+        )
+    else:
+        m = _map_update(state.map_state, pose, rgb, depth, intrinsics, opts)
+        slots, valid = state.cand_slots, state.cand_valid
+    return SLAMState(m, pose, slots, valid, app_start)
+
+
+_slam_init_state_jit = jax.jit(
+    slam_init_state, static_argnames=("opts", "capacity")
+)
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "capacity"))
 def slam_sequence(
     rgb_seq: jnp.ndarray,
@@ -279,27 +387,14 @@ def slam_sequence(
     if opts.odom == "gt" and poses_seq is None:
         raise ValueError("gt odometry requires poses")
 
-    map_state = init_map(B, capacity, dtype)
-
-    # odometry candidates can be carried from the previous fusion step:
-    # fusion at frame t compacts the active set at pose t, which is exactly
-    # the candidate set localization at frame t+1 needs (its prev_pose IS
-    # pose t) — saving a full-arena compaction per frame
-    use_cand = opts.fusion and opts.odom != "gt" and opts.reuse_actives
-
     # frame 0: identity pose unless poses are provided (icpslam.py:127-132)
-    if poses_seq is None:
-        pose0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
-    else:
-        pose0 = poses_seq[:, 0]
-    app_start0 = map_state.num_points
-    map_state, actives = _map_update(
-        map_state, pose0, rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts,
-        return_active=True,
+    pose0 = None if poses_seq is None else poses_seq[:, 0]
+    state = slam_init_state(
+        rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity, pose0
     )
 
     if L == 1:
-        return map_state, pose0[:, None]
+        return state.map_state, state.pose[:, None]
 
     xs = (
         jnp.swapaxes(rgb_seq[:, 1:], 0, 1),  # (L-1, B, H, W, 3)
@@ -311,46 +406,21 @@ def slam_sequence(
         ),
     )
 
-    if use_cand:
+    first_pose = state.pose[:, None]  # (B, 1, 4, 4)
 
-        def scan_body(carry, x):
-            m, prev_pose, slots, valid_c, app_start = carry
-            rgb, depth, _ = x
-            pose = _localize(
-                m, prev_pose, rgb, depth, intrinsics, opts,
-                cand=(slots, valid_c, app_start),
-            )
-            app_start_new = m.num_points
-            m, (slots2, valid2) = _map_update(
-                m, pose, rgb, depth, intrinsics, opts, return_active=True
-            )
-            return (m, pose, slots2, valid2, app_start_new), pose
+    def scan_body(carry, x):
+        rgb, depth, gt_pose = x
+        new = slam_step_state(
+            carry, rgb, depth, intrinsics, opts,
+            gt_pose if opts.odom == "gt" else None,
+        )
+        return new, new.pose
 
-        carry0 = (map_state, pose0, actives[0], actives[1], app_start0)
-    else:
-
-        def scan_body(carry, x):
-            m, prev_pose = carry
-            rgb, depth, gt_pose = x
-            m, pose = slam_step(
-                m,
-                prev_pose,
-                rgb,
-                depth,
-                intrinsics,
-                opts,
-                gt_pose if opts.odom == "gt" else None,
-            )
-            return (m, pose), pose
-
-        carry0 = (map_state, pose0)
-
-    carry_out, poses_rest = jax.lax.scan(scan_body, carry0, xs)
-    map_state = carry_out[0]
+    state, poses_rest = jax.lax.scan(scan_body, state, xs)
     poses = jnp.concatenate(
-        [pose0[:, None], jnp.swapaxes(poses_rest, 0, 1)], axis=1
+        [first_pose, jnp.swapaxes(poses_rest, 0, 1)], axis=1
     )
-    return map_state, poses
+    return state.map_state, poses
 
 
 class ICPSLAM:
@@ -391,6 +461,7 @@ class ICPSLAM:
             )
         self.odom = odom
         self._jit_step = None
+        self._jit_state_step = None
         self.opts = SLAMOptions(
             odom=odom,
             dsratio=dsratio,
@@ -472,6 +543,56 @@ class ICPSLAM:
             return new_map, pose
         return self._jit_step["slam"](
             map_state, prev_pose, rgb, depth, rgbd.intrinsics
+        )
+
+    def init_state(
+        self, live_frame: RGBDImages, capacity: Optional[int] = None
+    ) -> SLAMState:
+        """Starts an incremental run: maps the first frame into a fresh
+        arena and returns the carried :class:`SLAMState`.
+
+        ``capacity`` defaults to ``map_capacity`` or 100 frames' pixels.
+        """
+        rgbd = live_frame.to_channels_last()
+        B, L, H, W = rgbd.shape
+        cap = capacity or self.opts.map_capacity or 100 * H * W
+        pose0 = rgbd.poses[:, 0] if rgbd.has_poses else None
+        return _slam_init_state_jit(
+            rgbd.rgb_image[:, 0],
+            rgbd.depth_image[:, 0],
+            rgbd.intrinsics,
+            self.opts,
+            cap,
+            pose0,
+        )
+
+    def step_state(
+        self, state: SLAMState, live_frame: RGBDImages
+    ) -> SLAMState:
+        """Fast incremental step on a :class:`SLAMState`.
+
+        Same per-frame cost as the fused scan (odometry candidates are
+        carried from the previous fusion step instead of re-compacting the
+        whole arena). For gt odometry the live frame must carry poses.
+        """
+        rgbd = live_frame.to_channels_last()
+        if self._jit_state_step is None:
+            opts = self.opts
+            # donate the incoming state: the arena updates in place instead
+            # of allocating/copying a new one per step
+            self._jit_state_step = jax.jit(
+                lambda s, r, d, k, gt: slam_step_state(s, r, d, k, opts, gt),
+                donate_argnums=0,
+            )
+        gt = rgbd.poses[:, 0] if self.opts.odom == "gt" else None
+        if self.opts.odom == "gt" and gt is None:
+            raise ValueError("gt odometry requires live_frame poses")
+        return self._jit_state_step(
+            state,
+            rgbd.rgb_image[:, 0],
+            rgbd.depth_image[:, 0],
+            rgbd.intrinsics,
+            gt,
         )
 
     def __repr__(self):

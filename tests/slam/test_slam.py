@@ -111,6 +111,47 @@ class TestIncrementalStep:
             atol=1e-6,
         )
 
+    def test_state_api_matches_sequence(self, rgbd, msrd_data):
+        """SLAMState incremental stepping == slam_sequence, bit for bit
+        (it IS the scan body), including the carried odometry candidates."""
+        from gradslam_tpu import PointFusion
+        from gradslam_tpu.structures import map_to_pointclouds
+
+        slam = PointFusion(odom="gradicp", numiters=6)
+        B, L, H, W = rgbd.shape
+        state = slam.init_state(rgbd[:, 0], capacity=L * H * W)
+        poses_inc = [np.asarray(state.pose)]
+        for s in range(1, L):
+            state = slam.step_state(state, rgbd[:, s])
+            poses_inc.append(np.asarray(state.pose))
+        pc_fwd, poses_fwd = slam(rgbd)
+        np.testing.assert_allclose(
+            np.stack(poses_inc, axis=1), np.asarray(poses_fwd), atol=1e-6
+        )
+        pc_inc = map_to_pointclouds(state.map_state)
+        np.testing.assert_array_equal(
+            np.asarray(pc_inc.num_points_per_pointcloud),
+            np.asarray(pc_fwd.num_points_per_pointcloud),
+        )
+        n = int(pc_inc.num_points_per_pointcloud[0])
+        np.testing.assert_allclose(
+            np.asarray(pc_inc.points_padded[0, :n]),
+            np.asarray(pc_fwd.points_padded[0, :n]),
+            atol=1e-6,
+        )
+
+    def test_state_api_aggregate_and_gt(self, rgbd, msrd_data):
+        """The state API covers aggregate mapping and gt odometry too."""
+        slam = ICPSLAM(odom="gt")
+        B, L, H, W = rgbd.shape
+        state = slam.init_state(rgbd[:, 0], capacity=L * H * W)
+        for s in range(1, L):
+            state = slam.step_state(state, rgbd[:, s])
+        _, poses_fwd = slam(rgbd)
+        np.testing.assert_allclose(
+            np.asarray(state.pose), np.asarray(poses_fwd[:, -1]), atol=1e-6
+        )
+
 
 class TestDifferentiability:
     def test_grad_through_full_slam(self, msrd_data):
