@@ -397,6 +397,7 @@ def fusion_update_compact(
     block_size: Optional[int] = None,
     visible_capacity: Optional[int] = None,
     return_active: bool = False,
+    frame_labels: Optional[jnp.ndarray] = None,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -423,6 +424,13 @@ def fusion_update_compact(
     int32, valid (B, A) bool)`` is also returned — the next frame's
     odometry candidates (its prev_pose is this frame's pose), saving that
     step a full-arena compaction (slam/icpslam.py).
+
+    With ``frame_labels`` ((B, H, W) integer semantic labels, e.g. from the
+    ScanNet loader) the arena's spare channels carry a per-point label
+    fused by streaming majority (Boyer-Moore): a matching observation adds
+    its alpha to the label confidence, a disagreeing one subtracts it, and
+    the label flips when confidence crosses zero. Net-new vs the reference
+    (which never fuses semantics).
     """
     B, H, W, _ = frame_vertex_global.shape
     CAP = map_state.capacity
@@ -465,13 +473,16 @@ def fusion_update_compact(
     else:
         arena_slot = jnp.take_along_axis(src_slots, idxb, axis=1)
 
-    # packed frame attributes: gv(3) gn(3) rgb(3) alpha(1) -> one gather
+    # packed frame attributes: gv(3) gn(3) rgb(3) alpha(1) [label(1)] ->
+    # one gather
     alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
-    frame_attr = jnp.concatenate(
-        [frame_vertex_global, frame_normal_global, rgb_image, alpha_img],
-        axis=-1,
-    ).reshape(B, HW, 10)
-    fa = jnp.take_along_axis(frame_attr, pixa[..., None], axis=1)  # (B, A, 10)
+    attrs = [frame_vertex_global, frame_normal_global, rgb_image, alpha_img]
+    if frame_labels is not None:
+        attrs.append(
+            frame_labels.reshape(B, H, W, 1).astype(alpha_img.dtype)
+        )
+    frame_attr = jnp.concatenate(attrs, axis=-1).reshape(B, HW, -1)
+    fa = jnp.take_along_axis(frame_attr, pixa[..., None], axis=1)  # (B, A, ·)
     fp, fn, fc, falpha = fa[..., 0:3], fa[..., 3:6], fa[..., 6:9], fa[..., 9:10]
 
     gated = (
@@ -530,11 +541,26 @@ def fusion_update_compact(
     alpha = jnp.where(win, falpha, jnp.zeros_like(falpha))
     cc_new = mcc + alpha
     inv = 1.0 / jnp.where(cc_new == 0, jnp.ones_like(cc_new), cc_new)
-    merged = pack_rows(
-        (mcc * mp + alpha * fp) * inv,
-        (mcc * mn + alpha * fn) * inv,
-        (mcc * mco + alpha * fc) * inv,
-        cc_new,
+    if frame_labels is not None:
+        # streaming-majority label update (alpha = 0 on non-winner rows
+        # leaves label and confidence untouched)
+        mlab, mconf = ma[..., 10:11], ma[..., 11:12]
+        flab = fa[..., 10:11]
+        conf_new = jnp.where(mlab == flab, mconf + alpha, mconf - alpha)
+        label_ch = jnp.concatenate(
+            [jnp.where(conf_new >= 0, mlab, flab), jnp.abs(conf_new)], -1
+        )
+    else:
+        label_ch = ma[..., 10:12]  # preserve whatever the arena carries
+    merged = jnp.concatenate(
+        [
+            (mcc * mp + alpha * fp) * inv,
+            (mcc * mn + alpha * fn) * inv,
+            (mcc * mco + alpha * fc) * inv,
+            cc_new,
+            label_ch,
+        ],
+        axis=-1,
     )  # (B, A, 12)
 
     # Winner write-back: the 12-channel row scatter costs ~45 ns per
@@ -552,9 +578,12 @@ def fusion_update_compact(
     state = MapState(data=data, num_points=map_state.num_points)
 
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr
-    frame_rows = jnp.concatenate(
-        [frame_attr, jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)], -1
-    )
+    if frame_labels is not None:
+        # appended points carry their frame label at confidence alpha
+        tail = frame_attr[..., 9:10]
+    else:
+        tail = jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)
+    frame_rows = jnp.concatenate([frame_attr, tail], -1)
     out = append_rows_to_map(state, frame_rows, new_mask)
     if return_active:
         return out, (arena_slot, avalid)
@@ -569,19 +598,36 @@ def aggregate_map_dense(
     rgb_image: jnp.ndarray,
     valid_depth: jnp.ndarray,
     sigma: float = 0.6,
+    frame_labels: Optional[jnp.ndarray] = None,
 ) -> MapState:
     """Append-only map update (reference ``update_map_aggregate``,
-    fusionutils.py:725-758): every valid-depth pixel is appended."""
+    fusionutils.py:725-758): every valid-depth pixel is appended.
+    Optional ``frame_labels`` land in the arena's semantic channels."""
     B, H, W, _ = frame_vertex_global.shape
+    HW = H * W
     alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
-    return append_to_map(
-        map_state,
-        frame_vertex_global.reshape(B, H * W, 3),
-        frame_normal_global.reshape(B, H * W, 3),
-        rgb_image.reshape(B, H * W, 3),
-        alpha_img.reshape(B, H * W, 1),
-        valid_depth.reshape(B, H * W),
+    if frame_labels is None:
+        return append_to_map(
+            map_state,
+            frame_vertex_global.reshape(B, HW, 3),
+            frame_normal_global.reshape(B, HW, 3),
+            rgb_image.reshape(B, HW, 3),
+            alpha_img.reshape(B, HW, 1),
+            valid_depth.reshape(B, HW),
+        )
+    alpha = alpha_img.reshape(B, HW, 1)
+    rows = jnp.concatenate(
+        [
+            frame_vertex_global.reshape(B, HW, 3),
+            frame_normal_global.reshape(B, HW, 3),
+            rgb_image.reshape(B, HW, 3),
+            alpha,
+            frame_labels.reshape(B, HW, 1).astype(alpha.dtype),
+            alpha,  # label confidence starts at alpha
+        ],
+        axis=-1,
     )
+    return append_rows_to_map(map_state, rows, valid_depth.reshape(B, HW))
 
 
 # ---------------------------------------------------------------------------

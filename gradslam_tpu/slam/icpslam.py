@@ -205,7 +205,7 @@ def _default_tgt_capacity(H, W, ds):
 
 def _map_update(
     map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions,
-    return_active: bool = False,
+    return_active: bool = False, labels=None,
 ):
     """Mapping: fuse or aggregate the live frame into the arena."""
     vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, pose)
@@ -227,8 +227,11 @@ def _map_update(
             opts.block_size,
             opts.visible_capacity,
             return_active=return_active,
+            frame_labels=labels,
         )
-    out = aggregate_map_dense(map_state, gv, gn, vm, rgb, valid, opts.sigma)
+    out = aggregate_map_dense(
+        map_state, gv, gn, vm, rgb, valid, opts.sigma, frame_labels=labels
+    )
     return (out, None) if return_active else out
 
 
@@ -292,12 +295,15 @@ def slam_init_state(
     opts: SLAMOptions,
     capacity: int,
     pose0: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
 ) -> SLAMState:
     """Maps the first frame into a fresh arena (reference icpslam.py:127-132).
 
     Args:
         rgb / depth: (B, H, W, 3/1) the first frame.
         pose0: (B, 4, 4) first-frame pose (identity when None).
+        labels: optional (B, H, W) semantic labels (fused into the arena's
+            semantic channels).
     """
     B, H, W, _ = rgb.shape
     dtype = rgb.dtype
@@ -308,10 +314,13 @@ def slam_init_state(
     app_start = map_state.num_points
     if opts.fusion:
         map_state, (slots, valid) = _map_update(
-            map_state, pose0, rgb, depth, intrinsics, opts, return_active=True
+            map_state, pose0, rgb, depth, intrinsics, opts,
+            return_active=True, labels=labels,
         )
     else:
-        map_state = _map_update(map_state, pose0, rgb, depth, intrinsics, opts)
+        map_state = _map_update(
+            map_state, pose0, rgb, depth, intrinsics, opts, labels=labels
+        )
         slots = jnp.zeros((B, A), jnp.int32)
         valid = jnp.zeros((B, A), bool)
     return SLAMState(map_state, pose0, slots, valid, app_start)
@@ -324,6 +333,7 @@ def slam_step_state(
     intrinsics: jnp.ndarray,
     opts: SLAMOptions,
     gt_pose: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
 ) -> SLAMState:
     """One SLAM step on a :class:`SLAMState` (the scan body).
 
@@ -349,10 +359,13 @@ def slam_step_state(
     if opts.fusion:
         m, (slots, valid) = _map_update(
             state.map_state, pose, rgb, depth, intrinsics, opts,
-            return_active=True,
+            return_active=True, labels=labels,
         )
     else:
-        m = _map_update(state.map_state, pose, rgb, depth, intrinsics, opts)
+        m = _map_update(
+            state.map_state, pose, rgb, depth, intrinsics, opts,
+            labels=labels,
+        )
         slots, valid = state.cand_slots, state.cand_valid
     return SLAMState(m, pose, slots, valid, app_start)
 
@@ -370,6 +383,7 @@ def slam_sequence(
     poses_seq: Optional[jnp.ndarray],
     opts: SLAMOptions,
     capacity: int,
+    labels_seq: Optional[jnp.ndarray] = None,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Runs SLAM over a full sequence with a single ``lax.scan``.
 
@@ -378,6 +392,8 @@ def slam_sequence(
         intrinsics: (B, 1, 4, 4).
         poses_seq: (B, L, 4, 4) ground-truth/seed poses or None.
         capacity: map arena capacity.
+        labels_seq: optional (B, L, H, W) semantic labels — fused into the
+            arena's semantic channels (``MapState.labels``).
 
     Returns:
         (map_state, recovered_poses (B, L, 4, 4)).
@@ -390,7 +406,8 @@ def slam_sequence(
     # frame 0: identity pose unless poses are provided (icpslam.py:127-132)
     pose0 = None if poses_seq is None else poses_seq[:, 0]
     state = slam_init_state(
-        rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity, pose0
+        rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity, pose0,
+        labels=None if labels_seq is None else labels_seq[:, 0],
     )
 
     if L == 1:
@@ -404,15 +421,21 @@ def slam_sequence(
             if poses_seq is not None
             else jnp.zeros((L - 1, B, 4, 4), dtype)
         ),
+        (
+            None
+            if labels_seq is None
+            else jnp.swapaxes(labels_seq[:, 1:], 0, 1)
+        ),
     )
 
     first_pose = state.pose[:, None]  # (B, 1, 4, 4)
 
     def scan_body(carry, x):
-        rgb, depth, gt_pose = x
+        rgb, depth, gt_pose, labels = x
         new = slam_step_state(
             carry, rgb, depth, intrinsics, opts,
             gt_pose if opts.odom == "gt" else None,
+            labels=labels,
         )
         return new, new.pose
 

@@ -9,7 +9,10 @@ arena is also the sharding unit for multi-device runs (points dim sharded
 over the mesh).
 
 Storage layout: ONE packed (B, CAP, 12) array with channels
-``[points(0:3), normals(3:6), colors(6:9), ccounts(9:10), pad(10:12)]``.
+``[points(0:3), normals(3:6), colors(6:9), ccounts(9:10), label(10),
+label_conf(11)]`` — the last two channels carry an optional semantic
+label id and its streaming-majority confidence (zero when label fusion
+is unused).
 Random-index gathers/scatters on TPU cost per *row* touched, so packing
 all attributes into one row makes every arena update a single scatter and
 every arena lookup a single gather (4x fewer slow ops than per-attribute
@@ -74,6 +77,17 @@ class MapState(NamedTuple):
     @property
     def ccounts(self) -> jnp.ndarray:
         return self.data[..., _CC]
+
+    @property
+    def labels(self) -> jnp.ndarray:
+        """(B, CAP) semantic label ids (float storage of ints; 0 when
+        label fusion is unused)."""
+        return self.data[..., 10]
+
+    @property
+    def label_conf(self) -> jnp.ndarray:
+        """(B, CAP) streaming-majority label confidence."""
+        return self.data[..., 11]
 
     @classmethod
     def from_arrays(cls, points, normals, colors, ccounts, num_points):
