@@ -16,8 +16,9 @@ import argparse
 import numpy as np
 
 from gradslam_tpu import PointFusion, RGBDImages
-from gradslam_tpu.datasets import Scannet
+from gradslam_tpu.datasets import Scannet, get_color_encoding
 from gradslam_tpu.metrics import ate_rmse
+from gradslam_tpu.slam.icpslam import slam_sequence
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--scannet_path", required=True)
@@ -31,6 +32,12 @@ parser.add_argument("--end", type=int, default=16)
 parser.add_argument("--height", type=int, default=240)
 parser.add_argument("--width", type=int, default=320)
 parser.add_argument("--plot", action="store_true")
+parser.add_argument(
+    "--semantic_ply",
+    default=None,
+    help="fuse the ScanNet semantic labels into the map and write a "
+    "label-colored PLY here",
+)
 
 
 def main():
@@ -45,12 +52,50 @@ def main():
         height=args.height,
         width=args.width,
     )
-    colors, depths, intrinsics, poses, *_ = dataset[0]
+    sample = dataset[0]
+    colors, depths, intrinsics, poses = sample[0], sample[1], sample[2], sample[3]
+    labels = sample[-1] if dataset.return_labels else None
     rgbdimages = RGBDImages(
         colors[None], depths[None], intrinsics[None], poses[None]
     )
     slam = PointFusion(odom=args.odometry)
-    pointclouds, recovered_poses = slam(rgbdimages)
+
+    if args.semantic_ply and labels is not None:
+        # semantic mapping: fuse labels into the arena's label channels
+        rgbd = rgbdimages.to_channels_last()
+        L, H, W = rgbd.shape[1:]
+        m, recovered_poses = slam_sequence(
+            rgbd.rgb_image,
+            rgbd.depth_image,
+            rgbd.intrinsics,
+            rgbd.poses if args.odometry == "gt" else None,
+            slam.opts,
+            slam.opts.map_capacity or L * H * W,
+            labels_seq=np.asarray(labels)[None, ..., 0]
+            if labels.ndim == 4
+            else np.asarray(labels)[None],
+        )
+        from gradslam_tpu.structures import map_to_pointclouds
+        from gradslam_tpu.viz.ply import write_ply
+
+        pointclouds = map_to_pointclouds(m)
+        n = int(m.num_points[0])
+        palette = get_color_encoding(dataset.seg_classes)
+        lut = np.zeros((max(41, len(palette) + 1), 3), np.float32)
+        for i, (_, rgb) in enumerate(palette.items()):
+            lut[i] = np.asarray(rgb, np.float32) / 255.0
+        labs = np.clip(
+            np.asarray(m.labels[0][:n]).astype(int), 0, len(lut) - 1
+        )
+        write_ply(
+            args.semantic_ply,
+            np.asarray(m.points[0][:n]),
+            colors=lut[labs],
+        )
+        print(f"semantic PLY written to {args.semantic_ply} ({n} points)")
+    else:
+        pointclouds, recovered_poses = slam(rgbdimages)
+
     print(f"map points: {np.asarray(pointclouds.num_points_per_pointcloud)}")
     print(
         "ATE-RMSE vs dataset poses:",
