@@ -70,9 +70,18 @@ def run_pipeline(reps=REPS):
     float(fn(rgb, dep, Kj))  # compile + warmup (first run loads the binary)
     float(fn(rgb, dep, Kj))
 
+    # Throughput measurement: dispatch every rep asynchronously and fetch
+    # ONE scalar at the end. Fetching per rep would serialize a host<->device
+    # round-trip (a ~25 ms tunnel RTT on remote backends) into every rep and
+    # measure dispatch latency, not device throughput (CLAUDE.md: microbench
+    # pitfall). The final fetch depends on all reps, so the wall time still
+    # covers every frame processed.
     t0 = time.perf_counter()
+    acc = None
     for _ in range(reps):
-        s = float(fn(rgb, dep, Kj))
+        s = fn(rgb, dep, Kj)
+        acc = s if acc is None else acc + s
+    float(acc)
     dt = (time.perf_counter() - t0) / reps
     return (B * L) / dt  # frames per second
 

@@ -104,6 +104,7 @@ def gauss_newton_solve(
     tgt_valid: Optional[jnp.ndarray] = None,
     robust_delta: Optional[float] = None,
     prepared_tgt: Optional[KnnTargets] = None,
+    tgt_packed: Optional[jnp.ndarray] = None,
 ):
     """One Gauss-Newton linearization of point-to-plane ICP (batched).
 
@@ -126,6 +127,11 @@ def gauss_newton_solve(
         prepared_tgt: optional pre-processed targets (ops/knn.py
             ``prepare_targets``) — hoists the loop-invariant target-side
             KNN work out of solver loops.
+        tgt_packed: optional (B, T, 6) ``concat([tgt_pc, tgt_normals])``
+            rows — ONE wide association gather instead of two 3-channel
+            ones (row-gather cost is dominated by per-row issue cost, so
+            wide rows are nearly free; CLAUDE.md perf notes). Build it
+            once outside solver loops.
 
     Returns:
         (A, b, weights, chamfer_idx): (B, S, 6), (B, S, 1), (B, S) float
@@ -144,9 +150,13 @@ def gauss_newton_solve(
     # a fully-invalid target set yields inf dists; mask those too
     w = w * jnp.isfinite(dists)
 
-    take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
-    assoc_pts = take(tgt_pc)  # (B, S, 3) — differentiable gather
-    assoc_n = take(tgt_normals)
+    if tgt_packed is not None:
+        rows = jnp.take_along_axis(tgt_packed, idx[..., None], axis=1)
+        assoc_pts, assoc_n = rows[..., 0:3], rows[..., 3:6]
+    else:
+        take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
+        assoc_pts = take(tgt_pc)  # (B, S, 3) — differentiable gather
+        assoc_n = take(tgt_normals)
 
     s = src_pc
     nx, ny, nz = assoc_n[..., 0], assoc_n[..., 1], assoc_n[..., 2]
@@ -170,12 +180,12 @@ def gauss_newton_solve(
 
 def _icp_common_step(
     src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp,
-    robust_delta=None, prepared_tgt=None,
+    robust_delta=None, prepared_tgt=None, tgt_packed=None,
 ):
     """Shared per-iteration work: linearize, solve, lookahead error."""
     A, b, w, _ = gauss_newton_solve(
         src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-        robust_delta, prepared_tgt,
+        robust_delta, prepared_tgt, tgt_packed,
     )
     xi = solve_linear_system(A, b, damp, weights=w)[..., 0]  # (B, 6)
     residual_transform = se3_exp(xi)
@@ -184,7 +194,7 @@ def _icp_common_step(
     one_step_pc = transform_pointcloud(src_pc, residual_transform)
     _, b1, w1, _ = gauss_newton_solve(
         one_step_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-        robust_delta, prepared_tgt,
+        robust_delta, prepared_tgt, tgt_packed,
     )
     new_err = jnp.sum(w1 * b1[..., 0] ** 2, axis=-1)
     return xi, residual_transform, one_step_pc, err, new_err
@@ -223,12 +233,13 @@ def point_to_plane_ICP(
         initial_transform = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
     src0 = transform_pointcloud(src_pc, initial_transform)
     prepared = prepare_targets(tgt_pc, tgt_valid)  # loop-invariant
+    packed = jnp.concatenate([tgt_pc, tgt_normals], axis=-1)
 
     def body(_, state):
         src, transform, damp_v = state
         xi, rt, one_step, err, new_err = _icp_common_step(
             src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-            damp_v, robust_delta, prepared,
+            damp_v, robust_delta, prepared, packed,
         )
         accept = (new_err < err)[:, None]  # (B, 1)
         src = jnp.where(accept[..., None], one_step, src)
@@ -280,12 +291,13 @@ def point_to_plane_gradICP(
         )
     src0 = transform_pointcloud(src_pc, initial_transform)
     prepared = prepare_targets(tgt_pc, tgt_valid)  # loop-invariant
+    packed = jnp.concatenate([tgt_pc, tgt_normals], axis=-1)
 
     def body(_, state):
         src, transform, damp_v = state
         xi, _, _, err, new_err = _icp_common_step(
             src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-            damp_v, robust_delta, prepared,
+            damp_v, robust_delta, prepared, packed,
         )
         errdiff = jnp.clip(new_err - err, -70.0, 70.0)  # (nbatch,)
         damp_new = lambda_min + (lambda_max - lambda_min) / (

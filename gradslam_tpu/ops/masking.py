@@ -97,11 +97,30 @@ def _compact_masked_sorted(
     )  # offs[blk_j] without a gather
     r = j[None, :] - off_j
 
-    flat = idx_sorted.reshape(B, NB * block)
     # overflow slots (masked below) may index past the end; clamp for safety
-    within = jnp.take_along_axis(
-        flat, jnp.clip(blk_j * block + r, 0, NB * block - 1), axis=1
-    )
+    addr = jnp.clip(blk_j * block + r, 0, NB * block - 1)
+    # Read the final index with WIDTH-8 row gathers + a one-hot select
+    # instead of single-element gathers: element gathers cost ~10.6 ns
+    # each but row gathers ~5 ns per row regardless of small widths, and
+    # the select math is dense (measured: -30% on the whole compaction
+    # at CAP=192k).
+    G = 8
+    if block % G:  # custom block sizes: plain element gather
+        within = jnp.take_along_axis(
+            idx_sorted.reshape(B, NB * block), addr, axis=1
+        )
+    else:
+        rows8 = idx_sorted.reshape(B, (NB * block) // G, G)
+        wide = jnp.take_along_axis(rows8, (addr // G)[..., None], axis=1)
+        within = jnp.sum(
+            wide
+            * (
+                jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                == (addr % G)[..., None]
+            ),
+            axis=-1,
+            dtype=jnp.int32,
+        )
     out = blk_j * block + within
 
     count = jnp.minimum(jnp.sum(mask, axis=1), out_size)

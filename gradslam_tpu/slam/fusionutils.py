@@ -458,7 +458,7 @@ def fusion_update_compact(
 
     # one packed-row gather pulls every map attribute of the active set
     ma = jnp.take_along_axis(src_data, idxb[..., None], axis=1)
-    mp, mn, mco, mcc = ma[..., 0:3], ma[..., 3:6], ma[..., 6:9], ma[..., 9:10]
+    mp, mn, mcc = ma[..., 0:3], ma[..., 3:6], ma[..., 9:10]
     # recompute the projected pixel from the gathered positions instead of
     # gathering the precomputed (B, CAP) pixel image: same math on the same
     # inputs (bitwise identical), and vectorized flops on A rows are ~free
@@ -483,7 +483,7 @@ def fusion_update_compact(
         )
     frame_attr = jnp.concatenate(attrs, axis=-1).reshape(B, HW, -1)
     fa = jnp.take_along_axis(frame_attr, pixa[..., None], axis=1)  # (B, A, ·)
-    fp, fn, fc, falpha = fa[..., 0:3], fa[..., 3:6], fa[..., 6:9], fa[..., 9:10]
+    fp, fn = fa[..., 0:3], fa[..., 3:6]
 
     gated = (
         avalid
@@ -502,18 +502,9 @@ def fusion_update_compact(
     ray = jnp.sum((mp - fp) ** 2, axis=-1)
     slot = arena_slot  # original arena index for deterministic tie-break
 
-    sorted_ops = jax.vmap(
-        lambda p, c, r, s, rowix: jax.lax.sort(
-            (p, -c, r, s, rowix), num_keys=4
-        )
-    )(
-        pix_seg,
-        cc1,
-        ray,
-        slot,
-        jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (B, A)),
-    )
-    pix_sorted, _, _, _, row_sorted = sorted_ops
+    pix_sorted, _, _, slot_sorted = jax.vmap(
+        lambda p, c, r, s: jax.lax.sort((p, -c, r, s), num_keys=4)
+    )(pix_seg, cc1, ray, slot)
     first = jnp.concatenate(
         [
             jnp.ones((B, 1), dtype=bool),
@@ -522,58 +513,78 @@ def fusion_update_compact(
         axis=1,
     )
     winner_sorted = first & (pix_sorted < HW)
-    # winner mask in original row order (one small scatter over A)
+
+    # Winner write-back. The 12-channel row scatter costs ~45 ns per
+    # PROCESSED source row (dropped rows cost the same), so only winner
+    # rows (at most one per pixel) may reach the arena scatter. Compact
+    # winners directly in SORTED space: winners are distinct pixels, so
+    # rank-among-winners (a cumsum) is a collision-free scatter address
+    # into an HW buffer. This costs ONE s32 scatter over A rows and
+    # replaces the previous round-trip (scatter the winner mask back to
+    # original row order + a second A-row sort compaction + two winner
+    # gathers). The merge math then runs on HW rows instead of A.
+    rank = jnp.cumsum(winner_sorted, axis=1) - 1
+    dest = jnp.where(winner_sorted, rank, HW)  # non-winners -> dropped
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, A))
-    winner = (
-        jnp.zeros((B, A), dtype=bool)
-        .at[b_idx, row_sorted]
-        .set(winner_sorted)
+    wslots = (
+        jnp.full((B, HW), CAP, dtype=jnp.int32)
+        .at[b_idx, dest]
+        .set(slot_sorted, mode="drop")
+    )  # (B, HW) arena slot per winner; CAP where no winner
+    wvalid = wslots < CAP
+
+    # winner attributes: ONE wide row gather from the arena at wslots;
+    # the winner's pixel is recomputed from the gathered position (same
+    # math on the same inputs as the value that won the sort — bitwise
+    # identical, and vectorized flops on HW rows are ~free while an extra
+    # payload channel in sort + scatter is not).
+    maw = jnp.take_along_axis(
+        map_state.data, jnp.minimum(wslots, CAP - 1)[..., None], axis=1
+    )  # (B, HW, 12)
+    mpw, mnw, mcow, mccw = (
+        maw[..., 0:3], maw[..., 3:6], maw[..., 6:9], maw[..., 9:10]
     )
-    # pixels with a correspondence (scatter winner pixels into HW+1 grid)
+    hw_w, ww_w, _ = _project_points_to_frame(
+        mpw, wvalid, pose, intrinsics, H, W
+    )
+    pixw = hw_w * W + ww_w  # (B, HW)
+    faw = jnp.take_along_axis(
+        frame_attr, jnp.where(wvalid, pixw, 0)[..., None], axis=1
+    )
+    fpw, fnw, fcw = faw[..., 0:3], faw[..., 3:6], faw[..., 6:9]
+
+    # pixels with a correspondence (HW-row scatter, not A)
+    bw = jnp.broadcast_to(jnp.arange(B)[:, None], (B, HW))
     pix_corr = (
         jnp.zeros((B, HW + 1), dtype=bool)
-        .at[b_idx, jnp.where(winner_sorted, pix_sorted, HW)]
+        .at[bw, jnp.where(wvalid, pixw, HW)]
         .set(True, mode="drop")
     )[:, :HW]
 
-    # confidence-weighted merge on the compacted rows
-    win = winner[..., None]
-    alpha = jnp.where(win, falpha, jnp.zeros_like(falpha))
-    cc_new = mcc + alpha
+    # confidence-weighted merge on the winner rows
+    alpha = jnp.where(wvalid[..., None], faw[..., 9:10], 0.0)
+    cc_new = mccw + alpha
     inv = 1.0 / jnp.where(cc_new == 0, jnp.ones_like(cc_new), cc_new)
+    mrows10 = [
+        (mccw * mpw + alpha * fpw) * inv,
+        (mccw * mnw + alpha * fnw) * inv,
+        (mccw * mcow + alpha * fcw) * inv,
+        cc_new,
+    ]
     if frame_labels is not None:
-        # streaming-majority label update (alpha = 0 on non-winner rows
-        # leaves label and confidence untouched)
-        mlab, mconf = ma[..., 10:11], ma[..., 11:12]
-        flab = fa[..., 10:11]
+        # streaming-majority label update
+        mlab, mconf = maw[..., 10:11], maw[..., 11:12]
+        flab = faw[..., 10:11]
         conf_new = jnp.where(mlab == flab, mconf + alpha, mconf - alpha)
         label_ch = jnp.concatenate(
             [jnp.where(conf_new >= 0, mlab, flab), jnp.abs(conf_new)], -1
         )
     else:
-        label_ch = ma[..., 10:12]  # preserve whatever the arena carries
-    merged = jnp.concatenate(
-        [
-            (mcc * mp + alpha * fp) * inv,
-            (mcc * mn + alpha * fn) * inv,
-            (mcc * mco + alpha * fc) * inv,
-            cc_new,
-            label_ch,
-        ],
-        axis=-1,
-    )  # (B, A, 12)
-
-    # Winner write-back: the 12-channel row scatter costs ~45 ns per
-    # PROCESSED source row (each row is 12 strided element writes in the
-    # arena's channel-major layout), independent of whether the row is
-    # dropped — so first compact winners (at most one per pixel) into an
-    # HW-sized buffer with cheap s32 ops, then scatter only those rows.
-    idxw, wvalid = compact_masked(winner, HW)  # winners <= one per pixel
-    mrows = jnp.take_along_axis(merged, idxw[..., None], axis=1)  # (B,HW,12)
-    wslots = jnp.where(
-        wvalid, jnp.take_along_axis(arena_slot, idxw, axis=1), CAP
-    )
-    bw = jnp.broadcast_to(jnp.arange(B)[:, None], (B, HW))
+        # no label fusion: write the spare channels back unchanged (a
+        # narrower 10-ch slice scatter lowers catastrophically — 50x
+        # slower, measured — so keep the full-width row scatter)
+        label_ch = maw[..., 10:12]
+    mrows = jnp.concatenate(mrows10 + [label_ch], axis=-1)  # (B, HW, 12)
     data = map_state.data.at[bw, wslots].set(mrows, mode="drop")
     state = MapState(data=data, num_points=map_state.num_points)
 

@@ -172,8 +172,12 @@ def append_rows_to_map(
 
     def upd(data_b, rows_b, src_b, start_b, off_b, n_b):
         r = jnp.arange(M, dtype=jnp.int32)
-        gather_idx = src_b[jnp.clip(r - off_b, 0, M - 1)]
-        rows_c = rows_b[gather_idx]  # (M, C) one row gather
+        rows_c = rows_b[src_b]  # (M, C) one row gather (compacted rows)
+        # shift the compacted rows to the in-window offset with a dynamic
+        # roll (two contiguous copies) instead of an element gather at
+        # shifted indices (~10.6 ns/element); rows at r < off_b wrap
+        # around but are masked out by `sel` below
+        rows_c = jnp.roll(rows_c, off_b, axis=0)
         window = jax.lax.dynamic_slice(
             data_b, (start_b, 0), (M, data_b.shape[1])
         )
