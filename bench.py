@@ -74,13 +74,15 @@ def run_pipeline(reps=REPS):
     # ONE scalar at the end. Fetching per rep would serialize a host<->device
     # round-trip (a ~25 ms tunnel RTT on remote backends) into every rep and
     # measure dispatch latency, not device throughput (CLAUDE.md: microbench
-    # pitfall). The final fetch depends on all reps, so the wall time still
-    # covers every frame processed.
+    # pitfall). Reduce AFTER the dispatch loop: even an async scalar add
+    # interleaved between dispatches costs ~20 ms/rep on remote backends.
+    # The final fetch depends on all reps, so the wall time still covers
+    # every frame processed.
     t0 = time.perf_counter()
-    acc = None
-    for _ in range(reps):
-        s = fn(rgb, dep, Kj)
-        acc = s if acc is None else acc + s
+    outs = [fn(rgb, dep, Kj) for _ in range(reps)]
+    acc = outs[0]
+    for s in outs[1:]:
+        acc = acc + s
     float(acc)
     dt = (time.perf_counter() - t0) / reps
     return (B * L) / dt  # frames per second
