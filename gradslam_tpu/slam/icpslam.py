@@ -110,10 +110,19 @@ def _odometry_candidates(map_state, cand_slots, cand_valid, app_start, win):
     )  # (B, A, 12) — current (post-merge) values
     start = jnp.clip(app_start, 0, CAP - win)
 
-    def slice_b(data_b, s):
-        return jax.lax.dynamic_slice(data_b, (s, 0), (win, data_b.shape[1]))
-
-    rows_n = jax.vmap(slice_b)(map_state.data, start)  # (B, win, 12)
+    # per-batch dynamic slices, unrolled over the static batch dim (vmap'd
+    # dynamic_slice with per-batch starts lowers to a full-arena while
+    # loop with relayout copies — see maparena.append_rows_to_map)
+    B, _, C = map_state.data.shape
+    rows_n = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(
+                map_state.data, (b, start[b], 0), (1, win, C)
+            )
+            for b in range(B)
+        ],
+        axis=0,
+    )  # (B, win, 12)
     slot_n = start[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
     valid_n = (slot_n >= app_start[:, None]) & (
         slot_n < map_state.num_points[:, None]

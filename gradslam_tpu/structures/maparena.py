@@ -170,24 +170,28 @@ def append_rows_to_map(
     start = jnp.clip(state.num_points, 0, cap - M)  # (B,)
     off = state.num_points - start  # (B,)
 
-    def upd(data_b, rows_b, src_b, start_b, off_b, n_b):
-        r = jnp.arange(M, dtype=jnp.int32)
-        rows_c = rows_b[src_b]  # (M, C) one row gather (compacted rows)
+    # compacted rows up front (batched row gather, no dynamic starts)
+    rows_c = jnp.take_along_axis(new_rows, src_of_pos[..., None], axis=1)
+
+    # Per-batch dynamic-slice window write, UNROLLED over the (static,
+    # small) batch dim: vmap of dynamic_slice/dynamic_update_slice with
+    # per-batch starts lowers to a while loop over B carrying full-arena
+    # tensors in a transposed layout (measured ~0.3 ms/frame of relayout
+    # copies at the bench point); B unrolled slices on the batched array
+    # lower to plain dynamic-(update-)slice HLO.
+    r = jnp.arange(M, dtype=jnp.int32)
+    C = state.data.shape[-1]
+    data = state.data
+    for b in range(B):
         # shift the compacted rows to the in-window offset with a dynamic
         # roll (two contiguous copies) instead of an element gather at
         # shifted indices (~10.6 ns/element); rows at r < off_b wrap
         # around but are masked out by `sel` below
-        rows_c = jnp.roll(rows_c, off_b, axis=0)
-        window = jax.lax.dynamic_slice(
-            data_b, (start_b, 0), (M, data_b.shape[1])
-        )
-        sel = (r >= off_b) & (r < off_b + n_b)
-        new_win = jnp.where(sel[:, None], rows_c, window)
-        return jax.lax.dynamic_update_slice(data_b, new_win, (start_b, 0))
-
-    data = jax.vmap(upd)(
-        state.data, new_rows, src_of_pos, start, off, n_added
-    )
+        rows_rolled = jnp.roll(rows_c[b], off[b], axis=0)
+        window = jax.lax.dynamic_slice(data, (b, start[b], 0), (1, M, C))
+        sel = (r >= off[b]) & (r < off[b] + n_added[b])
+        new_win = jnp.where(sel[None, :, None], rows_rolled[None], window)
+        data = jax.lax.dynamic_update_slice(data, new_win, (b, start[b], 0))
     return MapState(
         data=data, num_points=jnp.minimum(state.num_points + n_added, cap)
     )
