@@ -83,18 +83,26 @@ def _compact_masked_sorted(
         (key, pos), dimension=-1, num_keys=1, is_stable=True
     )
 
+    # Each output slot j belongs to the LAST block whose exclusive prefix
+    # offs_k <= j (empty blocks share a start position with their
+    # successor and lose the tie). Instead of O(NB * out_size) dense
+    # compare-sums, scatter per-block marks/deltas at the block-start
+    # positions (NB-row s32 scatters — tiny) and cumsum over the output
+    # axis: cumsum(ones at offs) - 1 = block id; cumsum(deltas of offs at
+    # offs) = offs[blk_j] (duplicate starts carry delta 0, so adds stay
+    # exact). Measured ~0.5 -> ~0.06 ms at the bench point.
     j = jnp.arange(out_size, dtype=jnp.int32)  # (out_size,)
-    le = offs[:, :, None] <= j[None, None, :]  # (B, NB, out_size)
-    blk_j = jnp.sum(le, axis=1, dtype=jnp.int32) - 1  # (B, out_size)
-    off_j = jnp.sum(
-        jnp.where(
-            (offs + s_b)[:, :, None] <= j[None, None, :],
-            s_b[:, :, None],
-            0,
-        ),
-        axis=1,
-        dtype=jnp.int32,
-    )  # offs[blk_j] without a gather
+    bi = jnp.broadcast_to(jnp.arange(B)[:, None], (B, NB))
+    pos = jnp.minimum(offs, out_size)  # blocks starting past out drop
+    marks = (
+        jnp.zeros((B, out_size + 1), jnp.int32).at[bi, pos].add(1)
+    )[:, :out_size]
+    blk_j = jnp.cumsum(marks, axis=1) - 1  # (B, out_size)
+    delta = jnp.diff(offs, axis=1, prepend=0)  # (B, NB), >= 0
+    doff = (
+        jnp.zeros((B, out_size + 1), jnp.int32).at[bi, pos].add(delta)
+    )[:, :out_size]
+    off_j = jnp.cumsum(doff, axis=1)  # offs[blk_j] without a gather
     r = j[None, :] - off_j
 
     # overflow slots (masked below) may index past the end; clamp for safety
