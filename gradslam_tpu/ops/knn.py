@@ -8,9 +8,10 @@ Design (see /opt/skills/guides/pallas_guide.md):
   - Distances ``|s - t|^2 = |s|^2 - 2 s.t + |t|^2`` — the cross term is an
     MXU matmul; ``|t|^2`` is precomputed and carries the validity mask as
     ``+inf`` so invalid targets never win the argmin.
-  - Grid over batch; each program loops over (src, tgt) tiles with a
-    running (min, argmin) carry, so VMEM holds only a (TGT_TILE, SRC_TILE)
-    distance block at a time.
+  - Grid over (batch, target-blocks): target blocks stream HBM->VMEM on a
+    sequential grid axis with a running (min, argmin) folded into the
+    revisited output, so VMEM holds one (TGT_TILE, SRC_TILE) distance
+    block at a time and VMEM use is independent of T.
   - Lane-major layout: ``src`` enters transposed (3, S) and reductions run
     over the sublane (target) axis, keeping outputs on lanes.
   - Outputs (dists, idx) are non-differentiable (wrapped in stop_gradient):
@@ -35,7 +36,6 @@ __all__ = ["knn", "knn_reference", "prepare_targets", "KnnTargets"]
 
 _SRC_TILE = 512
 _TGT_TILE = 1024
-_TGT_CHUNK = 8192  # max targets per kernel call (VMEM lane-padding bound)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -65,43 +65,51 @@ def knn_reference(
     return jax.lax.stop_gradient(dists), jax.lax.stop_gradient(idx)
 
 
-def _knn_kernel(srcT_ref, tgt_ref, tnorm_ref, dist_ref, idx_ref, *, s_tiles, t_tiles):
-    """One program: all (src, tgt) tiles for one batch element.
+def _knn_kernel(
+    srcT_ref, tgt_ref, tnorm_ref, dist_ref, idx_ref, *, s_tiles, n_tblocks
+):
+    """One grid step: one (TGT_TILE, 8) target block against all sources.
 
-    Ref shapes (leading block-batch dim of 1): srcT (1, 8, S),
-    tgt (1, T, 8), tnorm (1, T, 1), outputs (1, 1, S). The source and
-    target tile loops run inside the kernel so VMEM holds one
-    (TGT_TILE, SRC_TILE) distance block at a time.
+    The target dimension is a SEQUENTIAL grid axis: each step streams one
+    target block HBM->VMEM (Pallas double-buffers it) and folds its
+    (min, argmin) into the revisited output block with a strict ``<`` so
+    the first (lowest-index) minimum keeps winning ties exactly. This
+    keeps VMEM use independent of T (no target-count cap, one kernel
+    instance, no XLA-side chunk combines).
+
+    Ref shapes: srcT (1, 8, S) (constant over the target axis — Mosaic
+    skips the re-copy), tgt (1, TT, 8), tnorm (1, TT, 1), outputs
+    (1, 1, S) revisited across target steps. Output dist holds the raw
+    ``tnorm - 2 s.t`` best until the LAST step adds ``|s|^2`` (a constant
+    per source, so the running comparison order is unaffected).
     """
+    t = pl.program_id(1)
     S = srcT_ref.shape[2]
-    T = tgt_ref.shape[1]
+    TT = tgt_ref.shape[1]
     ST = S // s_tiles
-    TT = T // t_tiles
 
     def s_body(si, _):
         srcT = srcT_ref[0, :, pl.ds(si * ST, ST)]  # (8, ST); rows 3..7 zero
-
-        def t_body(t, carry):
-            best_d, best_i = carry
-            tgt_tile = tgt_ref[0, pl.ds(t * TT, TT), :]  # (TT, 8)
-            # cross term on the MXU: (TT, 8) @ (8, ST)
-            G = jnp.dot(tgt_tile, srcT, preferred_element_type=jnp.float32)
-            d = tnorm_ref[0, pl.ds(t * TT, TT), :] - 2.0 * G  # (TT, ST)
-            tile_min = jnp.min(d, axis=0)  # (ST,)
-            tile_arg = jnp.argmin(d, axis=0).astype(jnp.int32) + t * TT
-            better = tile_min < best_d  # strict: first tile keeps ties
-            return (
-                jnp.where(better, tile_min, best_d),
-                jnp.where(better, tile_arg, best_i),
-            )
-
-        init = (
+        tgt_tile = tgt_ref[0]  # (TT, 8)
+        # cross term on the MXU: (TT, 8) @ (8, ST)
+        G = jnp.dot(tgt_tile, srcT, preferred_element_type=jnp.float32)
+        d = tnorm_ref[0] - 2.0 * G  # (TT, ST)
+        tile_min = jnp.min(d, axis=0)  # (ST,)
+        tile_arg = jnp.argmin(d, axis=0).astype(jnp.int32) + t * TT
+        prev_d = jnp.where(
+            t == 0,
             jnp.full((ST,), jnp.inf, dtype=jnp.float32),
-            jnp.zeros((ST,), dtype=jnp.int32),
+            dist_ref[0, 0, pl.ds(si * ST, ST)],
         )
-        best_d, best_i = jax.lax.fori_loop(0, t_tiles, t_body, init)
+        prev_i = jnp.where(
+            t == 0, 0, idx_ref[0, 0, pl.ds(si * ST, ST)]
+        )
+        better = tile_min < prev_d  # strict: earlier block keeps ties
+        best_d = jnp.where(better, tile_min, prev_d)
+        best_i = jnp.where(better, tile_arg, prev_i)
         snorm = jnp.sum(srcT * srcT, axis=0)  # (ST,)
-        dist_ref[0, 0, pl.ds(si * ST, ST)] = best_d + snorm
+        best_d = jnp.where(t == n_tblocks - 1, best_d + snorm, best_d)
+        dist_ref[0, 0, pl.ds(si * ST, ST)] = best_d
         idx_ref[0, 0, pl.ds(si * ST, ST)] = best_i
         return 0
 
@@ -112,6 +120,7 @@ def _knn_kernel(srcT_ref, tgt_ref, tnorm_ref, dist_ref, idx_ref, *, s_tiles, t_t
 def _knn_pallas(src, tgt, tnorm, src_tile=_SRC_TILE, tgt_tile=_TGT_TILE):
     B, S, _ = src.shape
     T = tgt.shape[1]
+    n_tblocks = T // tgt_tile
 
     # lane-major source: (B, 8, S); coordinate dim padded 3 -> 8 (sublane)
     srcT = jnp.swapaxes(src, 1, 2)  # (B, 3, S)
@@ -120,7 +129,7 @@ def _knn_pallas(src, tgt, tnorm, src_tile=_SRC_TILE, tgt_tile=_TGT_TILE):
     tnorm2 = tnorm[..., None]  # (B, T, 1)
 
     kernel = functools.partial(
-        _knn_kernel, s_tiles=S // src_tile, t_tiles=T // tgt_tile
+        _knn_kernel, s_tiles=S // src_tile, n_tblocks=n_tblocks
     )
     dist, idx = pl.pallas_call(
         kernel,
@@ -128,15 +137,29 @@ def _knn_pallas(src, tgt, tnorm, src_tile=_SRC_TILE, tgt_tile=_TGT_TILE):
             jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, S), jnp.int32),
         ),
-        grid=(B,),
+        grid=(B, n_tblocks),
         in_specs=[
-            pl.BlockSpec((1, 8, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, S), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tgt_tile, 8),
+                lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tgt_tile, 1),
+                lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, S), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, S), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
     )(srcT, tgt8, tnorm2)
     return dist[:, 0, :], idx[:, 0, :]
@@ -234,22 +257,7 @@ def knn(
     src_p = jnp.pad(src, ((0, 0), (0, S_pad - S), (0, 0)))
     src_p = jax.lax.stop_gradient(src_p.astype(jnp.float32))
 
-    # Chunk very large target sets: the (T, 8)/(T, 1) VMEM buffers are
-    # lane-padded 16x by Mosaic, so a single kernel invocation is capped
-    # at _TGT_CHUNK targets; chunk results combine with a strict `<` so
-    # the first (lowest-index) minimum still wins ties exactly.
-    if T_pad <= _TGT_CHUNK:
-        dist, idx = _knn_pallas(src_p, tgt_p, tnorm)
-        return dist[:, :S], idx[:, :S]
-
-    best_d = jnp.full((B, S_pad), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((B, S_pad), jnp.int32)
-    for c0 in range(0, T_pad, _TGT_CHUNK):
-        c1 = min(c0 + _TGT_CHUNK, T_pad)
-        d_c, i_c = _knn_pallas(
-            src_p, tgt_p[:, c0:c1], tnorm[:, c0:c1]
-        )
-        better = d_c < best_d
-        best_d = jnp.where(better, d_c, best_d)
-        best_i = jnp.where(better, i_c + c0, best_i)
-    return best_d[:, :S], best_i[:, :S]
+    # No target-count cap: the kernel streams (TGT_TILE, 8) target blocks
+    # over a sequential grid axis, so VMEM use is independent of T.
+    dist, idx = _knn_pallas(src_p, tgt_p, tnorm)
+    return dist[:, :S], idx[:, :S]
