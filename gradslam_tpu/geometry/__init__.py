@@ -1,4 +1,5 @@
 from .projutils import (
+    project_points_to_pixels,
     homogenize_points,
     unhomogenize_points,
     project_points,
@@ -19,6 +20,7 @@ from .geometryutils import (
 from .se3 import so3_hat, se3_hat, so3_exp, se3_exp, se3_log
 
 __all__ = [
+    "project_points_to_pixels",
     "homogenize_points",
     "unhomogenize_points",
     "project_points",

@@ -21,6 +21,7 @@ __all__ = [
     "project_points",
     "unproject_points",
     "inverse_intrinsics",
+    "project_points_to_pixels",
 ]
 
 
@@ -150,3 +151,56 @@ def inverse_intrinsics(K: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     Kinv = Kinv.at[..., 2, 2].set(1.0)
     Kinv = Kinv.at[..., -1, -1].set(1.0)
     return Kinv
+
+
+def project_points_to_pixels(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+):
+    """Projects world points into the camera at ``pose``: pixel rows/cols.
+
+    The reference's ``find_active_map_points`` projection stage
+    (reference: gradslam/slam/fusionutils.py:249-282): transform by
+    ``pose^-1``, keep points with z > 0, pinhole-project, bounds-test with
+    the reference's exact guards (``-1e-3 < u < W - 0.999``), then
+    round-and-clamp to integer pixel indices. Shared by the fusion
+    association pipeline and projective-association odometry.
+
+    Args:
+        points: (B, N, 3) world-frame points.
+        valid: (B, N) bool (or float) point validity.
+        pose: (B, 4, 4) camera-to-world pose.
+        intrinsics: (B, 4, 4) or (B, 1, 4, 4).
+
+    Returns:
+        (h, w, active): (B, N) int32 pixel rows/cols (clamped into frame)
+        and the (B, N) bool in-bounds mask.
+    """
+    from .geometryutils import inverse_transformation, transform_pointcloud
+
+    tinv = inverse_transformation(pose)  # (B, 4, 4)
+    pts_cam = transform_pointcloud(points, tinv)  # (B, N, 3)
+    z = pts_cam[..., 2]
+    K = intrinsics[:, 0] if intrinsics.ndim == 4 else intrinsics
+    fx = K[..., 0, 0][:, None]
+    fy = K[..., 1, 1][:, None]
+    cx = K[..., 0, 2][:, None]
+    cy = K[..., 1, 2][:, None]
+    z_safe = jnp.where(z != 0, z, jnp.ones_like(z))
+    u = (pts_cam[..., 0] * fx + z * cx) / z_safe
+    v = (pts_cam[..., 1] * fy + z * cy) / z_safe
+    active = (
+        (u > -1e-3)
+        & (u < W - 0.999)
+        & (v > -1e-3)
+        & (v < H - 0.999)
+        & (z > 0)
+        & valid
+    )
+    h = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
+    w = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
+    return h, w, active

@@ -11,6 +11,9 @@ from .icputils import (
     huber_weights,
     point_to_plane_ICP,
     point_to_plane_gradICP,
+    point_to_plane_ICP_projective,
+    point_to_plane_gradICP_projective,
+    gauss_newton_solve_projective,
     solve_linear_system,
 )
 
@@ -25,6 +28,9 @@ __all__ = [
     "huber_weights",
     "point_to_plane_ICP",
     "point_to_plane_gradICP",
+    "point_to_plane_ICP_projective",
+    "point_to_plane_gradICP_projective",
+    "gauss_newton_solve_projective",
     "downsample_pointclouds",
     "downsample_rgbdimages",
     "frame_points_from_maps",

@@ -29,9 +29,12 @@ from ..ops.knn import KnnTargets, knn, prepare_targets
 __all__ = [
     "solve_linear_system",
     "gauss_newton_solve",
+    "gauss_newton_solve_projective",
     "huber_weights",
     "point_to_plane_ICP",
     "point_to_plane_gradICP",
+    "point_to_plane_ICP_projective",
+    "point_to_plane_gradICP_projective",
     "downsample_pointclouds",
     "downsample_rgbdimages",
     "frame_points_from_maps",
@@ -158,6 +161,17 @@ def gauss_newton_solve(
         assoc_pts = take(tgt_pc)  # (B, S, 3) — differentiable gather
         assoc_n = take(tgt_normals)
 
+    A, b, w = _point_to_plane_rows(src_pc, assoc_pts, assoc_n, w, robust_delta)
+    return A, b, w, idx
+
+
+def _point_to_plane_rows(src_pc, assoc_pts, assoc_n, w, robust_delta=None):
+    """Point-to-plane linear-system rows from associated pairs.
+
+    ``A = [nx, ny, nz, nz*sy - ny*sz, nx*sz - nz*sx, ny*sx - nx*sy]`` and
+    ``b = n . (d - s)`` (reference icputils.py:227-230), with optional
+    Huber down-weighting of the residuals.
+    """
     s = src_pc
     nx, ny, nz = assoc_n[..., 0], assoc_n[..., 1], assoc_n[..., 2]
     sx, sy, sz = s[..., 0], s[..., 1], s[..., 2]
@@ -175,29 +189,148 @@ def gauss_newton_solve(
     b = jnp.sum(assoc_n * (assoc_pts - s), axis=-1, keepdims=True)
     if robust_delta is not None:
         w = w * huber_weights(b[..., 0], robust_delta)
-    return A, b, w, idx
+    return A, b, w
 
 
-def _icp_common_step(
-    src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid, damp,
-    robust_delta=None, prepared_tgt=None, tgt_packed=None,
+def gauss_newton_solve_projective(
+    src_pc: jnp.ndarray,
+    tgt_img: jnp.ndarray,
+    view_pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+    dist_thresh: Optional[float] = None,
+    src_valid: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
 ):
-    """Shared per-iteration work: linearize, solve, lookahead error."""
-    A, b, w, _ = gauss_newton_solve(
-        src_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-        robust_delta, prepared_tgt, tgt_packed,
+    """One Gauss-Newton linearization with PROJECTIVE data association.
+
+    TPU-first alternative to the KNN association in
+    :func:`gauss_newton_solve` (net-new vs the reference, which always
+    uses chamferdist KNN): each source point is associated with the model
+    point stored at its projected pixel in the ``view_pose`` camera — the
+    classic projective ICP of KinectFusion/point-based fusion systems.
+    Cost is O(S) per linearization (one projection + one wide row gather)
+    instead of O(S*T), which is what makes large-map odometry cheap on
+    TPU; the trade is that association quality depends on the camera
+    motion being small enough that projecting into the previous view
+    finds the right surface (the standard projective-ICP assumption).
+
+    Args:
+        src_pc: (B, S, 3) source points (world frame).
+        tgt_img: (B, H*W, 7) per-pixel model rows
+            ``[x, y, z, nx, ny, nz, valid]`` in world frame (the model
+            image; see slam/fusionutils.fusion_update_compact).
+        view_pose: (B, 4, 4) camera-to-world pose the model image was
+            rendered at (the previous frame's pose).
+        intrinsics: (B, 4, 4) or (B, 1, 4, 4).
+        dist_thresh / src_valid / robust_delta: as in
+            :func:`gauss_newton_solve`.
+
+    Returns:
+        (A, b, weights, pix): (B, S, 6), (B, S, 1), (B, S) weights and the
+        (B, S) int32 associated pixel index.
+    """
+    from ..geometry import project_points_to_pixels
+
+    B_, S = src_pc.shape[0], src_pc.shape[1]
+    live = jnp.ones((B_, S), dtype=bool)
+    h, w_, inb = project_points_to_pixels(
+        jax.lax.stop_gradient(src_pc), live, view_pose, intrinsics, H, W
     )
+    pix = h * W + w_  # (B, S) — non-differentiable association indices
+    rows = jnp.take_along_axis(tgt_img, pix[..., None], axis=1)  # (B, S, 7)
+    assoc_pts, assoc_n = rows[..., 0:3], rows[..., 3:6]
+
+    w = inb.astype(src_pc.dtype) * rows[..., 6]
+    if dist_thresh is not None:
+        dists = jnp.sum((assoc_pts - src_pc) ** 2, axis=-1)
+        w = w * (dists < dist_thresh)
+    if src_valid is not None:
+        w = w * src_valid
+
+    A, b, w = _point_to_plane_rows(src_pc, assoc_pts, assoc_n, w, robust_delta)
+    return A, b, w, pix
+
+
+def _icp_common_step(solve_fn, src_pc, damp):
+    """Shared per-iteration work: linearize, solve, lookahead error.
+
+    ``solve_fn(src) -> (A, b, w, idx)`` is the data-association +
+    linearization callback — KNN (:func:`gauss_newton_solve`) or
+    projective (:func:`gauss_newton_solve_projective`).
+    """
+    A, b, w, _ = solve_fn(src_pc)
     xi = solve_linear_system(A, b, damp, weights=w)[..., 0]  # (B, 6)
     residual_transform = se3_exp(xi)
     err = jnp.sum(w * b[..., 0] ** 2, axis=-1)  # (B,)
 
     one_step_pc = transform_pointcloud(src_pc, residual_transform)
-    _, b1, w1, _ = gauss_newton_solve(
-        one_step_pc, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-        robust_delta, prepared_tgt, tgt_packed,
-    )
+    _, b1, w1, _ = solve_fn(one_step_pc)
     new_err = jnp.sum(w1 * b1[..., 0] ** 2, axis=-1)
     return xi, residual_transform, one_step_pc, err, new_err
+
+
+def _icp_loop(solve_fn, src_pc, initial_transform, numiters, damp):
+    """Classic LM loop: where-gated accept/reject (reference :326-366)."""
+    B = src_pc.shape[0]
+    dtype = src_pc.dtype
+    if initial_transform is None:
+        initial_transform = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    src0 = transform_pointcloud(src_pc, initial_transform)
+
+    def body(_, state):
+        src, transform, damp_v = state
+        xi, rt, one_step, err, new_err = _icp_common_step(
+            solve_fn, src, damp_v
+        )
+        accept = (new_err < err)[:, None]  # (B, 1)
+        src = jnp.where(accept[..., None], one_step, src)
+        damp_v = jnp.where(accept[:, 0], damp_v / 2.0, damp_v * 2.0)
+        new_transform = jnp.matmul(rt, transform)
+        transform = jnp.where(accept[..., None], new_transform, transform)
+        return src, transform, damp_v
+
+    damp0 = jnp.full((B,), damp, dtype=dtype)
+    _, transform, _ = jax.lax.fori_loop(
+        0, numiters, body, (src0, initial_transform, damp0)
+    )
+    return transform
+
+
+def _gradicp_loop(
+    solve_fn, src_pc, initial_transform, numiters, damp,
+    lambda_max, B, B2, nu,
+):
+    """GradLM loop: smooth damping/step gates (reference :496-545)."""
+    nbatch = src_pc.shape[0]
+    dtype = src_pc.dtype
+    lambda_min = 1.0 / lambda_max
+    if initial_transform is None:
+        initial_transform = jnp.broadcast_to(
+            jnp.eye(4, dtype=dtype), (nbatch, 4, 4)
+        )
+    src0 = transform_pointcloud(src_pc, initial_transform)
+
+    def body(_, state):
+        src, transform, damp_v = state
+        xi, _, _, err, new_err = _icp_common_step(solve_fn, src, damp_v)
+        errdiff = jnp.clip(new_err - err, -70.0, 70.0)  # (nbatch,)
+        damp_new = lambda_min + (lambda_max - lambda_min) / (
+            1.0 + jnp.exp(-B * errdiff)
+        )
+        damp_v = damp_v * damp_new
+        sigmoid = 1.0 / (1.0 + jnp.exp(-B2 * errdiff)) ** (1.0 / nu)
+        rt = se3_exp(sigmoid[:, None] * xi)
+        src = transform_pointcloud(src, rt)
+        transform = jnp.matmul(rt, transform)
+        return src, transform, damp_v
+
+    damp0 = jnp.full((nbatch,), damp, dtype=dtype)
+    _, transform, _ = jax.lax.fori_loop(
+        0, numiters, body, (src0, initial_transform, damp0)
+    )
+    return transform
 
 
 def point_to_plane_ICP(
@@ -227,32 +360,13 @@ def point_to_plane_ICP(
     Returns:
         (B, 4, 4) transforms aligning src to tgt.
     """
-    B = src_pc.shape[0]
-    dtype = src_pc.dtype
-    if initial_transform is None:
-        initial_transform = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
-    src0 = transform_pointcloud(src_pc, initial_transform)
     prepared = prepare_targets(tgt_pc, tgt_valid)  # loop-invariant
     packed = jnp.concatenate([tgt_pc, tgt_normals], axis=-1)
-
-    def body(_, state):
-        src, transform, damp_v = state
-        xi, rt, one_step, err, new_err = _icp_common_step(
-            src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-            damp_v, robust_delta, prepared, packed,
-        )
-        accept = (new_err < err)[:, None]  # (B, 1)
-        src = jnp.where(accept[..., None], one_step, src)
-        damp_v = jnp.where(accept[:, 0], damp_v / 2.0, damp_v * 2.0)
-        new_transform = jnp.matmul(rt, transform)
-        transform = jnp.where(accept[..., None], new_transform, transform)
-        return src, transform, damp_v
-
-    damp0 = jnp.full((B,), damp, dtype=dtype)
-    _, transform, _ = jax.lax.fori_loop(
-        0, numiters, body, (src0, initial_transform, damp0)
+    solve_fn = lambda src: gauss_newton_solve(
+        src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
+        robust_delta, prepared, packed,
     )
-    return transform
+    return _icp_loop(solve_fn, src_pc, initial_transform, numiters, damp)
 
 
 def point_to_plane_gradICP(
@@ -282,39 +396,77 @@ def point_to_plane_gradICP(
     Returns:
         (B, 4, 4) transforms aligning src to tgt.
     """
-    nbatch = src_pc.shape[0]
-    dtype = src_pc.dtype
-    lambda_min = 1.0 / lambda_max
-    if initial_transform is None:
-        initial_transform = jnp.broadcast_to(
-            jnp.eye(4, dtype=dtype), (nbatch, 4, 4)
-        )
-    src0 = transform_pointcloud(src_pc, initial_transform)
     prepared = prepare_targets(tgt_pc, tgt_valid)  # loop-invariant
     packed = jnp.concatenate([tgt_pc, tgt_normals], axis=-1)
-
-    def body(_, state):
-        src, transform, damp_v = state
-        xi, _, _, err, new_err = _icp_common_step(
-            src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
-            damp_v, robust_delta, prepared, packed,
-        )
-        errdiff = jnp.clip(new_err - err, -70.0, 70.0)  # (nbatch,)
-        damp_new = lambda_min + (lambda_max - lambda_min) / (
-            1.0 + jnp.exp(-B * errdiff)
-        )
-        damp_v = damp_v * damp_new
-        sigmoid = 1.0 / (1.0 + jnp.exp(-B2 * errdiff)) ** (1.0 / nu)
-        rt = se3_exp(sigmoid[:, None] * xi)
-        src = transform_pointcloud(src, rt)
-        transform = jnp.matmul(rt, transform)
-        return src, transform, damp_v
-
-    damp0 = jnp.full((nbatch,), damp, dtype=dtype)
-    _, transform, _ = jax.lax.fori_loop(
-        0, numiters, body, (src0, initial_transform, damp0)
+    solve_fn = lambda src: gauss_newton_solve(
+        src, tgt_pc, tgt_normals, dist_thresh, src_valid, tgt_valid,
+        robust_delta, prepared, packed,
     )
-    return transform
+    return _gradicp_loop(
+        solve_fn, src_pc, initial_transform, numiters, damp,
+        lambda_max, B, B2, nu,
+    )
+
+
+def point_to_plane_ICP_projective(
+    src_pc: jnp.ndarray,
+    tgt_img: jnp.ndarray,
+    view_pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+    initial_transform: Optional[jnp.ndarray] = None,
+    numiters: int = 20,
+    damp: float = 1e-8,
+    dist_thresh: Optional[float] = None,
+    src_valid: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
+):
+    """Classic point-to-plane ICP with PROJECTIVE association.
+
+    Same LM loop as :func:`point_to_plane_ICP`, but each iteration
+    associates source points by projecting them into the ``view_pose``
+    camera and reading the model image — O(S) per iteration instead of
+    O(S*T) (see :func:`gauss_newton_solve_projective`).
+    """
+    solve_fn = lambda src: gauss_newton_solve_projective(
+        src, tgt_img, view_pose, intrinsics, H, W,
+        dist_thresh, src_valid, robust_delta,
+    )
+    return _icp_loop(solve_fn, src_pc, initial_transform, numiters, damp)
+
+
+def point_to_plane_gradICP_projective(
+    src_pc: jnp.ndarray,
+    tgt_img: jnp.ndarray,
+    view_pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+    initial_transform: Optional[jnp.ndarray] = None,
+    numiters: int = 20,
+    damp: float = 1e-8,
+    dist_thresh: Optional[float] = None,
+    lambda_max: float = 2.0,
+    B: float = 1.0,
+    B2: float = 1.0,
+    nu: float = 200.0,
+    src_valid: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
+):
+    """GradLM point-to-plane ICP with PROJECTIVE association.
+
+    Same smooth LM loop as :func:`point_to_plane_gradICP` with the O(S)
+    projective association of :func:`gauss_newton_solve_projective`.
+    """
+    solve_fn = lambda src: gauss_newton_solve_projective(
+        src, tgt_img, view_pose, intrinsics, H, W,
+        dist_thresh, src_valid, robust_delta,
+    )
+    return _gradicp_loop(
+        solve_fn, src_pc, initial_transform, numiters, damp,
+        lambda_max, B, B2, nu,
+    )
 
 
 # ---------------------------------------------------------------------------

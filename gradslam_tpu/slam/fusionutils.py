@@ -25,7 +25,11 @@ from typing import NamedTuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..geometry import inverse_transformation, transform_pointcloud
+from ..geometry import (
+    inverse_transformation,
+    project_points_to_pixels,
+    transform_pointcloud,
+)
 from ..structures.maparena import (
     MapState,
     append_rows_to_map,
@@ -101,33 +105,11 @@ class DenseCorrespondence(NamedTuple):
 def _project_points_to_frame(points, live, pose, intrinsics, H, W):
     """Core projection: (B, N, 3) points -> pixel rows/cols + active mask.
 
-    The reference's ``find_active_map_points`` projection stage
-    (fusionutils.py:249-282): transform by ``pose^-1``, keep points with
-    z > 0, pinhole-project, bounds-test with the reference's exact guards
-    (``-1e-3 < u < W - 0.999``), round-and-clamp to pixel indices.
+    Alias of :func:`gradslam_tpu.geometry.project_points_to_pixels` (the
+    math moved to the geometry layer so projective-association odometry
+    can share it without depending on the slam layer).
     """
-    tinv = inverse_transformation(pose)  # (B, 4, 4)
-    pts_cam = transform_pointcloud(points, tinv)  # (B, N, 3)
-    z = pts_cam[..., 2]
-    K = intrinsics[:, 0] if intrinsics.ndim == 4 else intrinsics
-    fx = K[..., 0, 0][:, None]
-    fy = K[..., 1, 1][:, None]
-    cx = K[..., 0, 2][:, None]
-    cy = K[..., 1, 2][:, None]
-    z_safe = jnp.where(z != 0, z, jnp.ones_like(z))
-    u = (pts_cam[..., 0] * fx + z * cx) / z_safe
-    v = (pts_cam[..., 1] * fy + z * cy) / z_safe
-    active = (
-        (u > -1e-3)
-        & (u < W - 0.999)
-        & (v > -1e-3)
-        & (v < H - 0.999)
-        & (z > 0)
-        & live
-    )
-    h = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
-    w = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
-    return h, w, active
+    return project_points_to_pixels(points, live, pose, intrinsics, H, W)
 
 
 def project_map_to_frame(
@@ -420,10 +402,13 @@ def fusion_update_compact(
     append a duplicate point). Size ``active_capacity`` generously
     (default 4*H*W) to make this a non-event.
 
-    With ``return_active`` the compacted active set ``(arena_slots (B, A)
-    int32, valid (B, A) bool)`` is also returned — the next frame's
-    odometry candidates (its prev_pose is this frame's pose), saving that
-    step a full-arena compaction (slam/icpslam.py).
+    With ``return_active`` a tuple ``(arena_slots (B, A) int32, valid
+    (B, A) bool, model_img (B, H*W) int32)`` is also returned — the next
+    frame's odometry candidates (its prev_pose is this frame's pose),
+    saving that step a full-arena compaction, plus the per-pixel MODEL
+    IMAGE: the arena slot of the point fused (merged or appended) at each
+    pixel, ``CAP`` where none. The model image is the association target
+    for projective odometry (slam/icpslam.py, ``assoc='projective'``).
 
     With ``frame_labels`` ((B, H, W) integer semantic labels, e.g. from the
     ScanNet loader) the arena's spare channels carry a per-point label
@@ -553,13 +538,17 @@ def fusion_update_compact(
     )
     fpw, fnw, fcw = faw[..., 0:3], faw[..., 3:6], faw[..., 6:9]
 
-    # pixels with a correspondence (HW-row scatter, not A)
+    # per-pixel MODEL IMAGE: arena slot of the fused point at each pixel
+    # (CAP sentinel where none). One s32 scatter over HW rows; the
+    # correspondence mask falls out of it for free. Winner pixels are
+    # distinct by construction, so the scatter is collision-free.
     bw = jnp.broadcast_to(jnp.arange(B)[:, None], (B, HW))
-    pix_corr = (
-        jnp.zeros((B, HW + 1), dtype=bool)
+    model_img = (
+        jnp.full((B, HW + 1), CAP, dtype=jnp.int32)
         .at[bw, jnp.where(wvalid, pixw, HW)]
-        .set(True, mode="drop")
+        .set(wslots, mode="drop")
     )[:, :HW]
+    pix_corr = model_img < CAP
 
     # confidence-weighted merge on the winner rows
     alpha = jnp.where(wvalid[..., None], faw[..., 9:10], 0.0)
@@ -597,7 +586,18 @@ def fusion_update_compact(
     frame_rows = jnp.concatenate([frame_attr, tail], -1)
     out = append_rows_to_map(state, frame_rows, new_mask)
     if return_active:
-        return out, (arena_slot, avalid)
+        # appended rows land at num_points + rank (dropped past capacity);
+        # add them to the model image so it covers every pixel with a
+        # model point visible at this pose (dense ops, no scatter)
+        app_slot = (
+            map_state.num_points[:, None]
+            + jnp.cumsum(new_mask, axis=1, dtype=jnp.int32)
+            - 1
+        )
+        model_img = jnp.where(
+            new_mask & (app_slot < CAP), app_slot, model_img
+        )
+        return out, (arena_slot, avalid, model_img)
     return out
 
 

@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import compose_transformations
-from ..odometry.icputils import point_to_plane_ICP, point_to_plane_gradICP
+from ..odometry.icputils import (
+    point_to_plane_ICP,
+    point_to_plane_ICP_projective,
+    point_to_plane_gradICP,
+    point_to_plane_gradICP_projective,
+)
 from ..ops.masking import compact_masked
 from ..structures import RGBDImages, map_to_pointclouds
 from ..structures.maparena import MapState, init_map
@@ -54,6 +59,7 @@ class SLAMOptions(NamedTuple):
     """Static SLAM configuration (hashable; part of the jit cache key)."""
 
     odom: str = "gradicp"  # 'gt' | 'icp' | 'gradicp'
+    assoc: str = "knn"  # odometry association: 'knn' | 'projective'
     dsratio: int = 4
     pyramid: Optional[Tuple[int, ...]] = None  # coarse-to-fine dsratios
     numiters: int = 20
@@ -207,6 +213,66 @@ def _localize(
     return compose_transformations(transform, prev_pose)
 
 
+def _localize_projective(
+    map_state, prev_pose, model_img, rgb, depth, intrinsics, opts: SLAMOptions
+):
+    """Odometry via PROJECTIVE association against the carried model image.
+
+    TPU-first fast path (net-new vs the reference): instead of compacting
+    a candidate point set and running KNN association (O(S*T) per solver
+    iteration), gather the per-pixel model rows ONCE (the model image the
+    previous fusion step produced at prev_pose) and associate each source
+    point by projecting it into the previous camera — O(S) per iteration.
+    See odometry/icputils.gauss_newton_solve_projective.
+    """
+    B, H, W, _ = rgb.shape
+    CAP = map_state.capacity
+    _, _, gv, _, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
+
+    # model image rows: ONE wide gather; validity packed as channel 7
+    rows = jnp.take_along_axis(
+        map_state.data, jnp.minimum(model_img, CAP - 1)[..., None], axis=1
+    )  # (B, HW, 12)
+    tvalid = (model_img < CAP).astype(rows.dtype)
+    tgt_img = jnp.concatenate([rows[..., 0:6], tvalid[..., None]], axis=-1)
+
+    # Projective association NEEDS a distance gate: a projection landing
+    # on an unrelated surface otherwise yields a confidently wrong
+    # correspondence (KNN association degrades gracefully; projective
+    # does not). Default to the fusion distance threshold, squared
+    # (dist_thresh gates on squared distances).
+    dist_thresh = (
+        opts.dist_thresh
+        if opts.dist_thresh is not None
+        else opts.dist_th**2
+    )
+
+    transform = None
+    for ds in opts.pyramid or (opts.dsratio,):
+        sl = (slice(None), slice(None, None, ds), slice(None, None, ds))
+        src = gv[sl].reshape(B, -1, 3)
+        src_valid_px = valid[sl].reshape(B, -1).astype(src.dtype)
+        common = dict(
+            numiters=opts.numiters,
+            damp=opts.damp,
+            dist_thresh=dist_thresh,
+            robust_delta=opts.robust_delta,
+            src_valid=src_valid_px,
+        )
+        if opts.odom == "gradicp":
+            transform = point_to_plane_gradICP_projective(
+                src, tgt_img, prev_pose, intrinsics, H, W, transform,
+                lambda_max=opts.lambda_max, B=opts.B, B2=opts.B2, nu=opts.nu,
+                **common,
+            )
+        else:
+            transform = point_to_plane_ICP_projective(
+                src, tgt_img, prev_pose, intrinsics, H, W, transform,
+                **common,
+            )
+    return compose_transformations(transform, prev_pose)
+
+
 def _default_tgt_capacity(H, W, ds):
     cap = 4 * ((H + ds - 1) // ds) * ((W + ds - 1) // ds)
     return max(1024, ((cap + 1023) // 1024) * 1024)
@@ -269,6 +335,12 @@ def slam_step(
             raise ValueError("gt odometry requires gt_pose")
         pose = gt_pose
     else:
+        if opts.assoc == "projective":
+            raise ValueError(
+                "assoc='projective' needs the carried model image — use "
+                "the stateful API (slam_init_state/slam_step_state or "
+                "slam_sequence) instead of slam_step"
+            )
         pose = _localize(map_state, prev_pose, rgb, depth, intrinsics, opts)
     new_map = _map_update(map_state, pose, rgb, depth, intrinsics, opts)
     return new_map, pose
@@ -288,6 +360,9 @@ class SLAMState(NamedTuple):
         pose: (B, 4, 4) last frame's pose.
         cand_slots / cand_valid: (B, A) compacted fusion active set.
         app_start: (B,) first arena slot appended by the last frame.
+        model_img: (B, H*W) int32 per-pixel model image from the last
+            fusion step (arena slot fused at each pixel, CAP = none) —
+            the association target for ``opts.assoc == 'projective'``.
     """
 
     map_state: MapState
@@ -295,6 +370,7 @@ class SLAMState(NamedTuple):
     cand_slots: jnp.ndarray
     cand_valid: jnp.ndarray
     app_start: jnp.ndarray
+    model_img: jnp.ndarray
 
 
 def slam_init_state(
@@ -322,7 +398,7 @@ def slam_init_state(
     A = opts.active_capacity or 2 * H * W
     app_start = map_state.num_points
     if opts.fusion:
-        map_state, (slots, valid) = _map_update(
+        map_state, (slots, valid, model_img) = _map_update(
             map_state, pose0, rgb, depth, intrinsics, opts,
             return_active=True, labels=labels,
         )
@@ -332,7 +408,8 @@ def slam_init_state(
         )
         slots = jnp.zeros((B, A), jnp.int32)
         valid = jnp.zeros((B, A), bool)
-    return SLAMState(map_state, pose0, slots, valid, app_start)
+        model_img = jnp.full((B, H * W), capacity, jnp.int32)
+    return SLAMState(map_state, pose0, slots, valid, app_start, model_img)
 
 
 def slam_step_state(
@@ -355,6 +432,16 @@ def slam_step_state(
         if gt_pose is None:
             raise ValueError("gt odometry requires gt_pose")
         pose = gt_pose
+    elif opts.assoc == "projective":
+        if not opts.fusion:
+            raise ValueError(
+                "assoc='projective' requires fusion mapping (the model "
+                "image comes from the fusion step)"
+            )
+        pose = _localize_projective(
+            state.map_state, state.pose, state.model_img,
+            rgb, depth, intrinsics, opts,
+        )
     elif opts.fusion and opts.reuse_actives:
         pose = _localize(
             state.map_state, state.pose, rgb, depth, intrinsics, opts,
@@ -366,7 +453,7 @@ def slam_step_state(
         )
     app_start = state.map_state.num_points
     if opts.fusion:
-        m, (slots, valid) = _map_update(
+        m, (slots, valid, model_img) = _map_update(
             state.map_state, pose, rgb, depth, intrinsics, opts,
             return_active=True, labels=labels,
         )
@@ -376,7 +463,8 @@ def slam_step_state(
             labels=labels,
         )
         slots, valid = state.cand_slots, state.cand_valid
-    return SLAMState(m, pose, slots, valid, app_start)
+        model_img = state.model_img
+    return SLAMState(m, pose, slots, valid, app_start, model_img)
 
 
 _slam_init_state_jit = jax.jit(
@@ -490,6 +578,15 @@ class ICPSLAM:
         if odom not in ("gt", "icp", "gradicp"):
             raise ValueError(
                 f"odometry method {odom!r} not in ('gt', 'icp', 'gradicp')"
+            )
+        assoc = kwargs.get("assoc", "knn")
+        if assoc not in ("knn", "projective"):
+            raise ValueError(
+                f"association {assoc!r} not in ('knn', 'projective')"
+            )
+        if assoc == "projective" and not self._fusion:
+            raise ValueError(
+                "assoc='projective' requires fusion mapping (PointFusion)"
             )
         self.odom = odom
         self._jit_step = None

@@ -88,6 +88,63 @@ class TestOdometrySLAM:
         )
 
 
+class TestProjectiveAssociation:
+    """Projective-association odometry (assoc='projective'): the TPU-first
+    O(S) alternative to KNN association (net-new vs the reference)."""
+
+    @pytest.mark.parametrize("odom", ["gradicp", "icp"])
+    def test_trajectory_close_to_gt(self, rgbd, msrd_data, odom):
+        """Projective association must recover the golden trajectory to the
+        same tolerance as the KNN path (small-motion clip)."""
+        slam = PointFusion(odom=odom, numiters=10, assoc="projective")
+        pc, poses = slam(rgbd)
+        gt = msrd_data["poses"]
+        terr = np.linalg.norm(
+            np.asarray(poses)[..., :3, 3] - gt[..., :3, 3], axis=-1
+        )
+        assert terr.max() < 0.02, f"translation error {terr.max()}"
+        R = np.asarray(poses)[..., :3, :3]
+        Rg = gt[..., :3, :3]
+        cos = (np.einsum("blij,blij->bl", R, Rg) - 1.0) / 2.0
+        ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        assert ang.max() < 2.0, f"rotation error {ang.max()} deg"
+
+    def test_state_api_matches_sequence(self, rgbd):
+        """The carried model image advances identically through the state
+        API and the fused scan."""
+        slam = PointFusion(odom="gradicp", numiters=6, assoc="projective")
+        B, L, H, W = rgbd.shape
+        state = slam.init_state(rgbd[:, 0], capacity=L * H * W)
+        poses_inc = [np.asarray(state.pose)]
+        for s in range(1, L):
+            state = slam.step_state(state, rgbd[:, s])
+            poses_inc.append(np.asarray(state.pose))
+        _, poses_fwd = slam(rgbd)
+        np.testing.assert_allclose(
+            np.stack(poses_inc, axis=1), np.asarray(poses_fwd), atol=1e-6
+        )
+
+    def test_requires_fusion(self):
+        with pytest.raises(ValueError, match="projective"):
+            ICPSLAM(odom="gradicp", assoc="projective")
+
+    def test_slam_step_rejects_projective(self, msrd_data):
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_step
+        from gradslam_tpu.structures.maparena import init_map
+
+        opts = SLAMOptions(odom="gradicp", fusion=True, assoc="projective")
+        m = init_map(1, 1024)
+        with pytest.raises(ValueError, match="model image"):
+            slam_step(
+                m,
+                jnp.broadcast_to(jnp.eye(4), (1, 4, 4)),
+                jnp.zeros((1, 8, 8, 3)),
+                jnp.ones((1, 8, 8, 1)),
+                jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
+                opts,
+            )
+
+
 class TestIncrementalStep:
     def test_step_matches_forward(self, rgbd, msrd_data):
         from gradslam_tpu.structures import init_map, map_to_pointclouds
