@@ -6,9 +6,16 @@ Frames come from the real golden RGB-D clip (tests/data/msrd_b2s3, 120x160)
 cycled to sequence length 10.
 
 The reference publishes no numbers (BASELINE.md), so the baseline is
-measured: the identical JAX pipeline run on one CPU host (the reference's
-own CI/examples target CPU torch). The CPU number is cached in
-.bench_baseline.json after the first run.
+measured: the reference-equivalent pipeline (KNN data association — the
+only association the reference implements) run on one CPU host (the
+reference's own CI/examples target CPU torch). The CPU number is cached
+in .bench_baseline.json after the first run.
+
+The TPU headline uses this framework's projective-association fast path
+(assoc='projective': O(S) association against the fused model image
+instead of O(S*T) KNN) — same task, accuracy pinned to the KNN path by
+tests/slam/test_slam.py::TestProjectiveAssociation (sub-2mm trajectory
+error on the golden clip for both).
 
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
@@ -43,7 +50,7 @@ def load_sequence():
     return colors.astype(np.float32), depths.astype(np.float32), K.astype(np.float32)
 
 
-def run_pipeline(reps=REPS):
+def run_pipeline(reps=REPS, assoc="projective"):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +59,8 @@ def run_pipeline(reps=REPS):
     colors, depths, K = load_sequence()
     H, W = colors.shape[2], colors.shape[3]
     opts = SLAMOptions(
-        odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True
+        odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True,
+        assoc=assoc,
     )
     capacity = L * H * W
     rgb = jnp.asarray(colors)
@@ -67,8 +75,19 @@ def run_pipeline(reps=REPS):
         return poses.sum() + m.points.sum()
 
     fn = jax.jit(_run)
-    float(fn(rgb, dep, Kj))  # compile + warmup (first run loads the binary)
-    float(fn(rgb, dep, Kj))
+    # Warm up until the per-rep wall time stabilizes. On a remote backend
+    # the first executions pay the remote binary compile/load, and a fixed
+    # two-shot warmup has been observed to leak that into the timed loop
+    # (one cold run measured 19 fps vs 295 steady-state). Stop when a rep
+    # is no faster than 70% of the previous one.
+    prev = None
+    for _ in range(8):
+        t = time.perf_counter()
+        float(fn(rgb, dep, Kj))
+        dt_w = time.perf_counter() - t
+        if prev is not None and dt_w > 0.7 * prev:
+            break
+        prev = dt_w
 
     # Throughput measurement: dispatch every rep asynchronously and fetch
     # ONE scalar at the end. Fetching per rep would serialize a host<->device
@@ -92,9 +111,12 @@ def measure_cpu_baseline():
     """Runs the identical workload on CPU in a subprocess, caching result."""
     if BASELINE_CACHE.exists():
         return json.loads(BASELINE_CACHE.read_text())["cpu_frames_per_sec"]
+    # reference-equivalent pipeline: KNN association (what the reference
+    # implements), so vs_baseline reads "our TPU build vs the reference
+    # algorithm on the reference's own CI hardware"
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import bench; print('CPUFPS', bench.run_pipeline(reps=2))"
+        "import bench; print('CPUFPS', bench.run_pipeline(reps=2, assoc='knn'))"
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
