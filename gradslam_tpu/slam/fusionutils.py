@@ -363,6 +363,64 @@ def fuse_map_dense(
     )
 
 
+def _winner_writeback(data, wslots, wvalid, mrows, bw, merge_window):
+    """Writes merged winner rows ``mrows`` to arena slots ``wslots``.
+
+    Two bitwise-identical formulations:
+
+    - ``merge_window=None``: one 12-channel row scatter over the winner
+      buffer (~45 ns per processed source row — the scatter floor).
+    - ``merge_window=Wz``: winners in dense SLAM runs cluster in a small
+      slot range (the recently appended / recently merged region), so the
+      update can avoid the row scatter entirely: dynamic-slice a Wz-row
+      window around the winners, invert the slot map with ONE cheap s32
+      scatter (rank per window slot), gather each window row's merge row
+      (row gathers are ~9x cheaper than row scatters), select, and write
+      the window back contiguously. Falls back to the scatter via
+      ``lax.cond`` whenever the winner span exceeds the window (e.g. a
+      loop-closure revisit touching very old slots), so results are
+      identical for every input.
+    """
+    CAP = data.shape[1]
+    if not merge_window:
+        return data.at[bw, wslots].set(mrows, mode="drop")
+
+    B, HW = wslots.shape
+    Wz = min(merge_window, CAP)
+    lo = jnp.min(jnp.where(wvalid, wslots, CAP), axis=1)  # (B,)
+    hi = jnp.max(jnp.where(wvalid, wslots, -1), axis=1) + 1
+    start = jnp.maximum(0, jnp.minimum(lo, CAP - Wz))
+    fits = jnp.all(hi <= start + Wz)
+
+    def _scatter_wb(operands):
+        d, ws, _, mr, _ = operands
+        return d.at[bw, ws].set(mr, mode="drop")
+
+    def _window_wb(operands):
+        d, ws, wv, mr, st = operands
+        rank = jnp.arange(HW, dtype=jnp.int32)
+        for b in range(B):
+            win = jax.lax.dynamic_slice(
+                d, (b, st[b], 0), (1, Wz, d.shape[2])
+            )[0]
+            dest = jnp.where(wv[b], ws[b] - st[b], Wz)
+            inv = (
+                jnp.full((Wz + 1,), HW, jnp.int32)
+                .at[dest]
+                .set(rank, mode="drop")
+            )[:Wz]
+            rows = jnp.take_along_axis(
+                mr[b], jnp.minimum(inv, HW - 1)[:, None], axis=0
+            )
+            win = jnp.where((inv < HW)[:, None], rows, win)
+            d = jax.lax.dynamic_update_slice(d, win[None], (b, st[b], 0))
+        return d
+
+    return jax.lax.cond(
+        fits, _window_wb, _scatter_wb, (data, wslots, wvalid, mrows, start)
+    )
+
+
 def fusion_update_compact(
     map_state: MapState,
     frame_vertex_global: jnp.ndarray,
@@ -380,6 +438,7 @@ def fusion_update_compact(
     visible_capacity: Optional[int] = None,
     return_active: bool = False,
     frame_labels: Optional[jnp.ndarray] = None,
+    merge_window: Optional[int] = None,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -574,7 +633,9 @@ def fusion_update_compact(
         # slower, measured — so keep the full-width row scatter)
         label_ch = maw[..., 10:12]
     mrows = jnp.concatenate(mrows10 + [label_ch], axis=-1)  # (B, HW, 12)
-    data = map_state.data.at[bw, wslots].set(mrows, mode="drop")
+    data = _winner_writeback(
+        map_state.data, wslots, wvalid, mrows, bw, merge_window
+    )
     state = MapState(data=data, num_points=map_state.num_points)
 
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr

@@ -80,6 +80,7 @@ class SLAMOptions(NamedTuple):
     B2: float = 1.0
     nu: float = 200.0
     reuse_actives: bool = True  # odometry candidates from prev fusion step
+    merge_window: int = -1  # fusion writeback window (-1 auto=2*H*W, 0 off)
 
 
 def _frame_maps(rgb, depth, intrinsics, pose):
@@ -303,6 +304,9 @@ def _map_update(
             opts.visible_capacity,
             return_active=return_active,
             frame_labels=labels,
+            merge_window=(
+                2 * H * W if opts.merge_window < 0 else opts.merge_window
+            ) or None,
         )
     out = aggregate_map_dense(
         map_state, gv, gn, vm, rgb, valid, opts.sigma, frame_labels=labels

@@ -241,6 +241,57 @@ class TestCompactFusionEquivalence:
         )
 
 
+class TestWinnerWritebackWindow:
+    """The windowed winner writeback (merge_window) must be bitwise equal
+    to the row-scatter formulation, including the cond fallback when the
+    winner span exceeds the window."""
+
+    def _fused(self, frame0, frame1, merge_window):
+        from gradslam_tpu.slam.fusionutils import fusion_update_compact
+        from gradslam_tpu.structures.maparena import init_map
+
+        rgbd0 = frame0.to_channels_last()
+        rgbd1 = frame1.to_channels_last()
+        B, _, H, W = rgbd0.shape
+        cap = 3 * H * W
+
+        def frame_arrays(r):
+            return (
+                r.global_vertex_map[:, 0],
+                r.global_normal_map[:, 0],
+                r.vertex_map[:, 0],
+                r.rgb_image[:, 0],
+                r.valid_depth_mask[:, 0, ..., 0],
+            )
+
+        gv, gn, lv, rgb, vd = frame_arrays(rgbd0)
+        m = init_map(B, cap)
+        m = fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, rgbd0.poses[:, 0], rgbd0.intrinsics,
+            0.05, DOT_TH, 0.6, 4 * H * W, merge_window=merge_window,
+        )
+        gv, gn, lv, rgb, vd = frame_arrays(rgbd1)
+        return fusion_update_compact(
+            m, gv, gn, lv, rgb, vd, rgbd1.poses[:, 0], rgbd1.intrinsics,
+            0.05, DOT_TH, 0.6, 4 * H * W, merge_window=merge_window,
+        )
+
+    def test_window_matches_scatter(self, frame0, frame1):
+        a = self._fused(frame0, frame1, None)
+        b = self._fused(frame0, frame1, 2 * 120 * 160)
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+        np.testing.assert_array_equal(
+            np.asarray(a.num_points), np.asarray(b.num_points)
+        )
+
+    def test_fallback_when_span_exceeds_window(self, frame0, frame1):
+        """A window far smaller than the winner span must fall back to the
+        scatter and still produce identical results."""
+        a = self._fused(frame0, frame1, None)
+        b = self._fused(frame0, frame1, 64)
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
 class TestBlockGating:
     def test_gated_matches_ungated(self, frame0, frame1):
         """With enough visible-block capacity, block gating is exact."""
