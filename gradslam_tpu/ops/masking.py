@@ -79,8 +79,11 @@ def _compact_masked_sorted(
 
     key = (~m).astype(jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(block, dtype=jnp.int32), m.shape)
+    # (key, pos) with pos as a second KEY: equal keys order by ascending
+    # original position — identical to the stable sort, minus the iota
+    # tie-break operand XLA adds for is_stable
     _, idx_sorted = jax.lax.sort(
-        (key, pos), dimension=-1, num_keys=1, is_stable=True
+        (key, pos), dimension=-1, num_keys=2, is_stable=False
     )
 
     # Each output slot j belongs to the LAST block whose exclusive prefix

@@ -41,7 +41,11 @@ def _sort_by_voxel(pts: jnp.ndarray, live: jnp.ndarray, voxel_size, origin):
     vy = jnp.where(live, v[:, 1], big)
     vz = jnp.where(live, v[:, 2], big)
     rowix = jnp.arange(N, dtype=jnp.int32)
-    sx, sy, sz, perm = jax.lax.sort((vx, vy, vz, rowix), num_keys=3)
+    # rowix as a 4th KEY: equal cells order by ascending row — identical
+    # to the default stable sort, minus its iota tie-break operand
+    sx, sy, sz, perm = jax.lax.sort(
+        (vx, vy, vz, rowix), num_keys=4, is_stable=False
+    )
     same = (
         (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]) & (sz[1:] == sz[:-1])
     )

@@ -547,7 +547,12 @@ def fusion_update_compact(
     slot = arena_slot  # original arena index for deterministic tie-break
 
     pix_sorted, _, _, slot_sorted = jax.vmap(
-        lambda p, c, r, s: jax.lax.sort((p, -c, r, s), num_keys=4)
+        # slot is unique per row, so the 4-key tuple is unique and
+        # stability is redundant — is_stable=False drops the iota
+        # tie-break operand XLA otherwise adds to the sort
+        lambda p, c, r, s: jax.lax.sort(
+            (p, -c, r, s), num_keys=4, is_stable=False
+        )
     )(pix_seg, cc1, ray, slot)
     first = jnp.concatenate(
         [
