@@ -279,6 +279,21 @@ def _default_tgt_capacity(H, W, ds):
     return max(1024, ((cap + 1023) // 1024) * 1024)
 
 
+def _auto_merge_window(merge_window: int, H: int, W: int, capacity: int):
+    """Resolves the merge_window option (-1 auto, 0 off, >0 explicit).
+
+    Auto: the windowed winner writeback replaces the H*W-row merge
+    scatter (~45 ns/row) with window ops whose fixed overhead is two
+    whole-arena layout copies (cost proportional to CAPACITY — see
+    docs/PERFORMANCE.md). The trade flips as the arena outgrows the
+    frame: measured 335 vs 296 fps at CAP = 10*H*W (window wins) but
+    55.7 vs 62.6 fps at CAP = 16*H*W (scatter wins). Crossover ~12*H*W.
+    """
+    if merge_window < 0:
+        merge_window = 2 * H * W if capacity <= 12 * H * W else 0
+    return merge_window or None
+
+
 def _map_update(
     map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions,
     return_active: bool = False, labels=None,
@@ -304,9 +319,9 @@ def _map_update(
             opts.visible_capacity,
             return_active=return_active,
             frame_labels=labels,
-            merge_window=(
-                2 * H * W if opts.merge_window < 0 else opts.merge_window
-            ) or None,
+            merge_window=_auto_merge_window(
+                opts.merge_window, H, W, map_state.capacity
+            ),
         )
     out = aggregate_map_dense(
         map_state, gv, gn, vm, rgb, valid, opts.sigma, frame_labels=labels
