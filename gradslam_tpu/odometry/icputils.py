@@ -272,30 +272,46 @@ def _icp_common_step(solve_fn, src_pc, damp):
 
 
 def _icp_loop(solve_fn, src_pc, initial_transform, numiters, damp):
-    """Classic LM loop: where-gated accept/reject (reference :326-366)."""
+    """Classic LM loop: where-gated accept/reject (reference :326-366).
+
+    ONE data association per iteration instead of the reference's two:
+    the lookahead linearization at the stepped cloud IS the next
+    iteration's linearization when the step is accepted, and the current
+    one is when it is rejected — so the loop carries (A, b, w) and only
+    linearizes the lookahead point. Same values in the same order as the
+    two-association form (the association is deterministic in the cloud),
+    at half the per-iteration association cost.
+    """
     B = src_pc.shape[0]
     dtype = src_pc.dtype
     if initial_transform is None:
         initial_transform = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
     src0 = transform_pointcloud(src_pc, initial_transform)
+    A0, b0, w0, _ = solve_fn(src0)
 
     def body(_, state):
-        src, transform, damp_v = state
-        xi, rt, one_step, err, new_err = _icp_common_step(
-            solve_fn, src, damp_v
-        )
+        src, transform, damp_v, A, b, w = state
+        xi = solve_linear_system(A, b, damp_v, weights=w)[..., 0]  # (B, 6)
+        rt = se3_exp(xi)
+        err = jnp.sum(w * b[..., 0] ** 2, axis=-1)  # (B,)
+        one_step = transform_pointcloud(src, rt)
+        A1, b1, w1, _ = solve_fn(one_step)
+        new_err = jnp.sum(w1 * b1[..., 0] ** 2, axis=-1)
         accept = (new_err < err)[:, None]  # (B, 1)
         src = jnp.where(accept[..., None], one_step, src)
+        A = jnp.where(accept[..., None], A1, A)
+        b = jnp.where(accept[..., None], b1, b)
+        w = jnp.where(accept, w1, w)
         damp_v = jnp.where(accept[:, 0], damp_v / 2.0, damp_v * 2.0)
         new_transform = jnp.matmul(rt, transform)
         transform = jnp.where(accept[..., None], new_transform, transform)
-        return src, transform, damp_v
+        return src, transform, damp_v, A, b, w
 
     damp0 = jnp.full((B,), damp, dtype=dtype)
-    _, transform, _ = jax.lax.fori_loop(
-        0, numiters, body, (src0, initial_transform, damp0)
+    state = jax.lax.fori_loop(
+        0, numiters, body, (src0, initial_transform, damp0, A0, b0, w0)
     )
-    return transform
+    return state[1]
 
 
 def _gradicp_loop(
