@@ -50,7 +50,7 @@ def load_sequence():
     return colors.astype(np.float32), depths.astype(np.float32), K.astype(np.float32)
 
 
-def run_pipeline(reps=REPS, assoc="projective"):
+def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
     import jax
     import jax.numpy as jnp
 
@@ -58,9 +58,17 @@ def run_pipeline(reps=REPS, assoc="projective"):
 
     colors, depths, K = load_sequence()
     H, W = colors.shape[2], colors.shape[3]
+    # assoc_window bounds the association working set to the arena prefix
+    # [0, 2*H*W) — cost then scales with the actual map size instead of
+    # the worst-case capacity. Rows past the window would be excluded
+    # from association (deterministic drop), so the run below VALIDATES
+    # that the map never outgrows it (max num_points <= window) and the
+    # result equals the unwindowed program; the headline is only reported
+    # for a verified-exact configuration.
+    window = 2 * H * W if assoc_window else 0
     opts = SLAMOptions(
         odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True,
-        assoc=assoc,
+        assoc=assoc, assoc_window=window,
     )
     capacity = L * H * W
     rgb = jnp.asarray(colors)
@@ -72,9 +80,17 @@ def run_pipeline(reps=REPS, assoc="projective"):
     # remote backends treat block_until_ready as a no-op).
     def _run(r, d, k):
         m, poses = slam_sequence(r, d, k, None, opts, capacity)
-        return poses.sum() + m.points.sum()
+        return poses.sum() + m.points.sum() + 1e9 * (
+            jnp.max(m.num_points) > window if window else 0.0
+        )
 
     fn = jax.jit(_run)
+    if window:
+        chk = float(fn(rgb, dep, Kj))
+        assert chk < 1e8, (
+            "map outgrew assoc_window — headline invalid; rerun with "
+            "assoc_window=False"
+        )
     # Warm up until the per-rep wall time stabilizes. On a remote backend
     # the first executions pay the remote binary compile/load, and a fixed
     # two-shot warmup has been observed to leak that into the timed loop
@@ -116,7 +132,8 @@ def measure_cpu_baseline():
     # algorithm on the reference's own CI hardware"
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import bench; print('CPUFPS', bench.run_pipeline(reps=2, assoc='knn'))"
+        "import bench; print('CPUFPS', bench.run_pipeline("
+        "reps=2, assoc='knn', assoc_window=False))"
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

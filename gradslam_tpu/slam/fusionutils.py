@@ -421,6 +421,45 @@ def _winner_writeback(data, wslots, wvalid, mrows, bw, merge_window):
     )
 
 
+def _resolve_merge_window(merge_window, H: int, W: int, view_rows: int):
+    """Resolves the merge_window option (-1 auto, 0/None off, >0 explicit).
+
+    Auto: the windowed winner writeback replaces the H*W-row merge
+    scatter (~45 ns/row) with window ops whose fixed overhead is two
+    layout copies of the merge TARGET (cost proportional to the target's
+    row count — see docs/PERFORMANCE.md). The trade flips as the target
+    outgrows the frame: measured 335 vs 296 fps at 10*H*W rows (window
+    wins) but 55.7 vs 62.6 fps at 16*H*W (scatter wins). Crossover
+    ~12*H*W.
+    """
+    if merge_window is None or merge_window == 0:
+        return None
+    if merge_window < 0:
+        return 2 * H * W if view_rows <= 12 * H * W else None
+    return merge_window
+
+
+def _resolve_assoc_window(assoc_window, capacity: int):
+    """Resolves the assoc_window option (<=0 off, >0 static prefix rows).
+
+    Live arena rows are a contiguous prefix ``[0, num_points)`` (appends
+    are contiguous; merges write in place), so association can run on the
+    static slice ``data[:, :assoc_window]`` — per-frame cost then scales
+    with the configured working-set bound instead of the worst-case
+    capacity (the arena analogue of the reference's dynamically grown
+    map). Rows at slots >= assoc_window are deterministically excluded
+    from association (like ``active_capacity`` overflow: they are not
+    merged and the affected pixels may append a duplicate) — size it so
+    the expected map fits. A ``lax.cond`` fallback was tried and
+    rejected: conditionals over the arena force whole-arena relayout
+    copies every frame (measured ~0.8 ms per copy at ScanNet scale, two
+    per frame, even on frames taking the cheap branch).
+    """
+    if assoc_window is None or assoc_window <= 0:
+        return None
+    return min(assoc_window, capacity) if assoc_window < capacity else None
+
+
 def fusion_update_compact(
     map_state: MapState,
     frame_vertex_global: jnp.ndarray,
@@ -439,6 +478,7 @@ def fusion_update_compact(
     return_active: bool = False,
     frame_labels: Optional[jnp.ndarray] = None,
     merge_window: Optional[int] = None,
+    assoc_window: int = -1,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -475,6 +515,24 @@ def fusion_update_compact(
     its alpha to the label confidence, a disagreeing one subtracts it, and
     the label flips when confidence crosses zero. Net-new vs the reference
     (which never fuses semantics).
+
+    ``assoc_window`` (<=0 off — default, exact; >0 static prefix rows)
+    enables capacity-windowed association: live arena rows are a
+    contiguous prefix, so association (projection + compaction — the
+    CAP-proportional stages) runs on the static slice
+    ``data[:, :assoc_window]``. While ``max(num_points)`` stays within
+    the window this is exact (identical association, winners and
+    tie-breaks; values may differ by 1-2 ulp of XLA fusion rounding
+    across program shapes); rows beyond it are deterministically
+    excluded from association, with the same consequence as
+    ``active_capacity`` overflow (not merged; duplicate appends
+    possible). Size it to the expected working set. Ignored on the
+    ``block_size`` path (the visible sub-arena already bounds the
+    association cost).
+
+    ``merge_window`` (-1 auto, 0/None off, >0 explicit) selects the
+    windowed winner writeback; auto enables it while the arena is at most
+    12*H*W rows.
     """
     B, H, W, _ = frame_vertex_global.shape
     CAP = map_state.capacity
@@ -483,6 +541,127 @@ def fusion_update_compact(
 
     from ..ops.masking import compact_masked
 
+    # packed frame attributes (map-independent, hoisted out of the window
+    # dispatch): gv(3) gn(3) rgb(3) alpha(1) [label(1)] -> one gather
+    alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
+    attrs = [frame_vertex_global, frame_normal_global, rgb_image, alpha_img]
+    if frame_labels is not None:
+        attrs.append(
+            frame_labels.reshape(B, H, W, 1).astype(alpha_img.dtype)
+        )
+    frame_attr = jnp.concatenate(attrs, axis=-1).reshape(B, HW, -1)
+
+    def _winner_slots(src_data, src_live, src_slots, compact=True):
+        """Projective association + winner selection against a map view.
+
+        ``src_data``/``src_live``: candidate rows + live mask. ``src_slots``
+        maps view rows to absolute arena slots (None = the view is the
+        arena prefix, so view index == arena slot). ``compact=False``
+        (valid only for a prefix view no larger than the active buffer):
+        the view rows ARE the active buffer — skips the compaction and
+        the active-row gather entirely (the winner sort handles inactive
+        rows by keying them past the last pixel, so compaction's only
+        remaining job was bounding the buffer size).
+
+        Returns (arena_slot, avalid, wslots (B, H*W) absolute winner slot
+        per rank, CAP sentinel); arena_slot/avalid are (B, A) compacted,
+        or (B, view rows) uncompacted. The merge itself runs afterwards;
+        its cost is O(H*W), independent of view size.
+        """
+        h, w, active = _project_points_to_frame(
+            src_data[..., 0:3], src_live, pose, intrinsics, H, W
+        )
+        if compact:
+            idxb, avalid = compact_masked(active, A)  # (B, A) view rows
+
+            # one packed-row gather pulls every map attribute of the
+            # active set
+            ma = jnp.take_along_axis(src_data, idxb[..., None], axis=1)
+            mp = ma[..., 0:3]
+            # recompute the projected pixel from the gathered positions
+            # instead of gathering the precomputed pixel image: same math
+            # on the same inputs (bitwise identical), and vectorized
+            # flops on A rows are ~free while the extra random gather
+            # costs ~0.8 ms/frame
+            ha, wa, _ = _project_points_to_frame(
+                mp, jnp.ones_like(avalid), pose, intrinsics, H, W
+            )
+            pixa = ha * W + wa  # (B, A)
+            # arena slot of each active row (tie-break + write-back)
+            if src_slots is None:
+                arena_slot = idxb
+            else:
+                arena_slot = jnp.take_along_axis(src_slots, idxb, axis=1)
+        else:
+            # direct window association: the view is the candidate buffer
+            assert src_slots is None
+            NA = src_data.shape[1]
+            ma = src_data
+            mp = ma[..., 0:3]
+            pixa = h * W + w  # (B, NA); h/w clamped in-frame, safe gather
+            arena_slot = jnp.broadcast_to(
+                jnp.arange(NA, dtype=jnp.int32)[None, :], (B, NA)
+            )
+            avalid = active
+        mn, mcc = ma[..., 3:6], ma[..., 9:10]
+
+        fa = jnp.take_along_axis(frame_attr, pixa[..., None], axis=1)
+        fp, fn = fa[..., 0:3], fa[..., 3:6]
+
+        gated = (
+            avalid
+            & are_points_close(fp, mp, dist_th)
+            & are_normals_similar(fn, mn, dot_th)
+        )
+
+        # Unique winner per pixel — same lexicographic tie-break as the
+        # reference's torch.unique row sort (max ccount, min ray dist, min
+        # index), implemented as ONE multi-key lax.sort over the active
+        # set instead of three segment scatter/gather rounds: rows sort by
+        # (pixel, -ccount, raydist, slot); the first row of each pixel
+        # group is the winner.
+        pix_seg = jnp.where(gated, pixa, HW).astype(jnp.int32)
+        cc1 = mcc[..., 0]
+        ray = jnp.sum((mp - fp) ** 2, axis=-1)
+        slot = arena_slot  # original arena index for deterministic tie-break
+
+        pix_sorted, _, _, slot_sorted = jax.vmap(
+            # slot is unique per row, so the 4-key tuple is unique and
+            # stability is redundant — is_stable=False drops the iota
+            # tie-break operand XLA otherwise adds to the sort
+            lambda p, c, r, s: jax.lax.sort(
+                (p, -c, r, s), num_keys=4, is_stable=False
+            )
+        )(pix_seg, cc1, ray, slot)
+        first = jnp.concatenate(
+            [
+                jnp.ones((B, 1), dtype=bool),
+                pix_sorted[:, 1:] != pix_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        winner_sorted = first & (pix_sorted < HW)
+
+        # Winner write-back. The 12-channel row scatter costs ~45 ns per
+        # PROCESSED source row (dropped rows cost the same), so only winner
+        # rows (at most one per pixel) may reach the arena scatter. Compact
+        # winners directly in SORTED space: winners are distinct pixels, so
+        # rank-among-winners (a cumsum) is a collision-free scatter address
+        # into an HW buffer. This costs ONE s32 scatter over A rows and
+        # replaces the previous round-trip (scatter the winner mask back to
+        # original row order + a second A-row sort compaction + two winner
+        # gathers). The merge math then runs on HW rows instead of A.
+        rank = jnp.cumsum(winner_sorted, axis=1) - 1
+        dest = jnp.where(winner_sorted, rank, HW)  # non-winners -> dropped
+        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], pix_seg.shape)
+        wslots = (
+            jnp.full((B, HW), CAP, dtype=jnp.int32)
+            .at[b_idx, dest]
+            .set(slot_sorted, mode="drop")
+        )  # (B, HW) ABSOLUTE arena slot per winner; CAP where no winner
+        return arena_slot, avalid, wslots
+
+    merge_tgt = None  # None -> merge into the full arena
     if block_size is not None:
         # spatial block gating: association over visible blocks only
         vcap = visible_capacity or max(
@@ -491,104 +670,55 @@ def fusion_update_compact(
         src_data, src_slots, src_live = visible_subarena(
             map_state, pose, intrinsics, H, W, block_size, vcap
         )
-        h, w, active = _project_points_to_frame(
-            src_data[..., 0:3], src_live, pose, intrinsics, H, W
+        arena_slot, avalid, wslots = _winner_slots(
+            src_data, src_live, src_slots
         )
     else:
-        src_data, src_slots = map_state.data, None
-        h, w, active = project_map_to_frame(map_state, pose, intrinsics, H, W)
+        # Capacity-windowed association: live rows are a contiguous
+        # prefix [0, num_points), so association runs on the static slice
+        # data[:, :window] — the CAP-proportional stages (projection,
+        # compaction block sort) then scale with the configured
+        # working-set bound, not the worst-case capacity. See
+        # _resolve_assoc_window for the (deterministic-drop) overflow
+        # semantics and why this is a static slice, not a lax.cond.
+        win = _resolve_assoc_window(assoc_window, CAP)
+        if win is None:
+            arena_slot, avalid, wslots = _winner_slots(
+                map_state.data, map_mask(map_state), None
+            )
+        else:
+            live = (
+                jnp.arange(win, dtype=jnp.int32)[None, :]
+                < map_state.num_points[:, None]
+            )
+            view = map_state.data[:, :win]
+            # win <= A: the window rows ARE the active buffer — no
+            # compaction, no active-row gather (see _winner_slots)
+            arena_slot, avalid, wslots = _winner_slots(
+                view, live, None, compact=win > A
+            )
+            merge_tgt = view
 
-    idxb, avalid = compact_masked(active, A)  # (B, A) indices into src rows
+    if merge_tgt is None:
+        merge_tgt = map_state.data
 
-    # one packed-row gather pulls every map attribute of the active set
-    ma = jnp.take_along_axis(src_data, idxb[..., None], axis=1)
-    mp, mn, mcc = ma[..., 0:3], ma[..., 3:6], ma[..., 9:10]
-    # recompute the projected pixel from the gathered positions instead of
-    # gathering the precomputed (B, CAP) pixel image: same math on the same
-    # inputs (bitwise identical), and vectorized flops on A rows are ~free
-    # while the extra random gather costs ~0.8 ms/frame at the bench point
-    ha, wa, _ = _project_points_to_frame(
-        mp, jnp.ones_like(avalid), pose, intrinsics, H, W
-    )
-    pixa = ha * W + wa  # (B, A)
-    # arena slot of each active row (for tie-break order and write-back)
-    if src_slots is None:
-        arena_slot = idxb
-    else:
-        arena_slot = jnp.take_along_axis(src_slots, idxb, axis=1)
-
-    # packed frame attributes: gv(3) gn(3) rgb(3) alpha(1) [label(1)] ->
-    # one gather
-    alpha_img = get_alpha(frame_vertex_local, sigma, keepdim=True)
-    attrs = [frame_vertex_global, frame_normal_global, rgb_image, alpha_img]
-    if frame_labels is not None:
-        attrs.append(
-            frame_labels.reshape(B, H, W, 1).astype(alpha_img.dtype)
-        )
-    frame_attr = jnp.concatenate(attrs, axis=-1).reshape(B, HW, -1)
-    fa = jnp.take_along_axis(frame_attr, pixa[..., None], axis=1)  # (B, A, ·)
-    fp, fn = fa[..., 0:3], fa[..., 3:6]
-
-    gated = (
-        avalid
-        & are_points_close(fp, mp, dist_th)
-        & are_normals_similar(fn, mn, dot_th)
-    )
-
-    # Unique winner per pixel — same lexicographic tie-break as the
-    # reference's torch.unique row sort (max ccount, min ray dist, min
-    # index), implemented as ONE multi-key lax.sort over the active set
-    # instead of three segment scatter/gather rounds: rows sort by
-    # (pixel, -ccount, raydist, slot); the first row of each pixel group
-    # is the winner.
-    pix_seg = jnp.where(gated, pixa, HW).astype(jnp.int32)
-    cc1 = mcc[..., 0]
-    ray = jnp.sum((mp - fp) ** 2, axis=-1)
-    slot = arena_slot  # original arena index for deterministic tie-break
-
-    pix_sorted, _, _, slot_sorted = jax.vmap(
-        # slot is unique per row, so the 4-key tuple is unique and
-        # stability is redundant — is_stable=False drops the iota
-        # tie-break operand XLA otherwise adds to the sort
-        lambda p, c, r, s: jax.lax.sort(
-            (p, -c, r, s), num_keys=4, is_stable=False
-        )
-    )(pix_seg, cc1, ray, slot)
-    first = jnp.concatenate(
-        [
-            jnp.ones((B, 1), dtype=bool),
-            pix_sorted[:, 1:] != pix_sorted[:, :-1],
-        ],
-        axis=1,
-    )
-    winner_sorted = first & (pix_sorted < HW)
-
-    # Winner write-back. The 12-channel row scatter costs ~45 ns per
-    # PROCESSED source row (dropped rows cost the same), so only winner
-    # rows (at most one per pixel) may reach the arena scatter. Compact
-    # winners directly in SORTED space: winners are distinct pixels, so
-    # rank-among-winners (a cumsum) is a collision-free scatter address
-    # into an HW buffer. This costs ONE s32 scatter over A rows and
-    # replaces the previous round-trip (scatter the winner mask back to
-    # original row order + a second A-row sort compaction + two winner
-    # gathers). The merge math then runs on HW rows instead of A.
-    rank = jnp.cumsum(winner_sorted, axis=1) - 1
-    dest = jnp.where(winner_sorted, rank, HW)  # non-winners -> dropped
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, A))
-    wslots = (
-        jnp.full((B, HW), CAP, dtype=jnp.int32)
-        .at[b_idx, dest]
-        .set(slot_sorted, mode="drop")
-    )  # (B, HW) arena slot per winner; CAP where no winner
+    # ---- winner merge: O(H*W), into the merge target -------------------
+    # The target is the assoc prefix view when active (winner slots only
+    # come from the window, and writing the view back is a static-offset
+    # update the compiler does in place; the writeback's layout copies
+    # then scale with the window, not capacity), else the full arena.
+    NT = merge_tgt.shape[1]
     wvalid = wslots < CAP
 
-    # winner attributes: ONE wide row gather from the arena at wslots;
-    # the winner's pixel is recomputed from the gathered position (same
-    # math on the same inputs as the value that won the sort — bitwise
-    # identical, and vectorized flops on HW rows are ~free while an extra
-    # payload channel in sort + scatter is not).
+    # winner attributes: ONE wide row gather from the merge target at
+    # wslots (the CAP sentinel clamps to the last target row — written
+    # back below only under wvalid); the winner's pixel is recomputed
+    # from the gathered position (same math on the same inputs as the
+    # value that won the sort — bitwise identical, and vectorized flops
+    # on HW rows are ~free while an extra payload channel in sort +
+    # scatter is not).
     maw = jnp.take_along_axis(
-        map_state.data, jnp.minimum(wslots, CAP - 1)[..., None], axis=1
+        merge_tgt, jnp.minimum(wslots, NT - 1)[..., None], axis=1
     )  # (B, HW, 12)
     mpw, mnw, mcow, mccw = (
         maw[..., 0:3], maw[..., 3:6], maw[..., 6:9], maw[..., 9:10]
@@ -612,7 +742,6 @@ def fusion_update_compact(
         .at[bw, jnp.where(wvalid, pixw, HW)]
         .set(wslots, mode="drop")
     )[:, :HW]
-    pix_corr = model_img < CAP
 
     # confidence-weighted merge on the winner rows
     alpha = jnp.where(wvalid[..., None], faw[..., 9:10], 0.0)
@@ -638,9 +767,19 @@ def fusion_update_compact(
         # slower, measured — so keep the full-width row scatter)
         label_ch = maw[..., 10:12]
     mrows = jnp.concatenate(mrows10 + [label_ch], axis=-1)  # (B, HW, 12)
-    data = _winner_writeback(
-        map_state.data, wslots, wvalid, mrows, bw, merge_window
+    new_tgt = _winner_writeback(
+        merge_tgt, wslots, wvalid, mrows, bw,
+        _resolve_merge_window(merge_window, H, W, NT),
     )
+    if NT == CAP:
+        data = new_tgt
+    else:
+        # static-offset view write-back (in-place-able; no dynamic offset)
+        data = jax.lax.dynamic_update_slice(
+            map_state.data, new_tgt, (0, 0, 0)
+        )
+
+    pix_corr = model_img < CAP
     state = MapState(data=data, num_points=map_state.num_points)
 
     new_mask = valid_depth.reshape(B, HW) & ~pix_corr

@@ -81,6 +81,7 @@ class SLAMOptions(NamedTuple):
     nu: float = 200.0
     reuse_actives: bool = True  # odometry candidates from prev fusion step
     merge_window: int = -1  # fusion writeback window (-1 auto=2*H*W, 0 off)
+    assoc_window: int = 0  # assoc prefix window rows (<=0 off = exact)
 
 
 def _frame_maps(rgb, depth, intrinsics, pose):
@@ -159,33 +160,59 @@ def _localize(
     """
     B, H, W, _ = rgb.shape
     vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
+    levels = tuple(opts.pyramid or (opts.dsratio,))
+    tgt_caps = tuple(
+        opts.tgt_capacity or _default_tgt_capacity(H, W, ds) for ds in levels
+    )
+
+    def _level_targets(src_rows, src_live):
+        """Per-pyramid-level compacted target indices (small outputs only,
+        so the capacity-window dispatch can wrap this in lax.cond without
+        threading the arena through the cond — see
+        fusionutils.fusion_update_compact)."""
+        h, w, active = _project_points_to_frame(
+            src_rows[..., 0:3], src_live, prev_pose, intrinsics, H, W
+        )
+        out = []
+        for ds, tc in zip(levels, tgt_caps):
+            # active map points whose projected pixel is on the ds grid
+            cand_mask = active & (h % ds == 0) & (w % ds == 0)
+            out.append(compact_masked(cand_mask, tc))
+        return tuple(out)
+
     if cand is None:
         from ..structures.maparena import map_mask
+        from .fusionutils import _resolve_assoc_window
 
-        src_rows = map_state.data
-        h, w, active = _project_points_to_frame(
-            src_rows[..., 0:3], map_mask(map_state), prev_pose, intrinsics, H, W
-        )
+        # capacity-windowed candidate compaction: same static prefix
+        # window as the fusion association (live rows are a prefix); the
+        # target row gather stays on the full arena (indices absolute)
+        win = _resolve_assoc_window(opts.assoc_window, map_state.capacity)
+        if win is None:
+            per_level = _level_targets(map_state.data, map_mask(map_state))
+        else:
+            live = (
+                jnp.arange(win, dtype=jnp.int32)[None, :]
+                < map_state.num_points[:, None]
+            )
+            per_level = _level_targets(map_state.data[:, :win], live)
+        gather_src = map_state.data
     else:
         src_rows, src_valid = _odometry_candidates(
             map_state, *cand, win=H * W
         )
-        h, w, active = _project_points_to_frame(
-            src_rows[..., 0:3], src_valid, prev_pose, intrinsics, H, W
-        )
+        per_level = _level_targets(src_rows, src_valid)
+        gather_src = src_rows
 
     transform = None
-    for ds in opts.pyramid or (opts.dsratio,):
+    for lvl, ds in enumerate(levels):
         # source: strided frame points (static size per level)
         sl = (slice(None), slice(None, None, ds), slice(None, None, ds))
         src = gv[sl].reshape(B, -1, 3)
         src_valid_px = valid[sl].reshape(B, -1)
 
-        # target: active map points whose projected pixel is on the ds grid
-        cand_mask = active & (h % ds == 0) & (w % ds == 0)
-        tgt_cap = opts.tgt_capacity or _default_tgt_capacity(H, W, ds)
-        idx, tgt_valid = compact_masked(cand_mask, tgt_cap)
-        rows = jnp.take_along_axis(src_rows, idx[..., None], axis=1)
+        idx, tgt_valid = per_level[lvl]
+        rows = jnp.take_along_axis(gather_src, idx[..., None], axis=1)
         tgt = rows[..., 0:3]
         tgt_n = rows[..., 3:6]
 
@@ -279,21 +306,6 @@ def _default_tgt_capacity(H, W, ds):
     return max(1024, ((cap + 1023) // 1024) * 1024)
 
 
-def _auto_merge_window(merge_window: int, H: int, W: int, capacity: int):
-    """Resolves the merge_window option (-1 auto, 0 off, >0 explicit).
-
-    Auto: the windowed winner writeback replaces the H*W-row merge
-    scatter (~45 ns/row) with window ops whose fixed overhead is two
-    whole-arena layout copies (cost proportional to CAPACITY — see
-    docs/PERFORMANCE.md). The trade flips as the arena outgrows the
-    frame: measured 335 vs 296 fps at CAP = 10*H*W (window wins) but
-    55.7 vs 62.6 fps at CAP = 16*H*W (scatter wins). Crossover ~12*H*W.
-    """
-    if merge_window < 0:
-        merge_window = 2 * H * W if capacity <= 12 * H * W else 0
-    return merge_window or None
-
-
 def _map_update(
     map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions,
     return_active: bool = False, labels=None,
@@ -319,9 +331,8 @@ def _map_update(
             opts.visible_capacity,
             return_active=return_active,
             frame_labels=labels,
-            merge_window=_auto_merge_window(
-                opts.merge_window, H, W, map_state.capacity
-            ),
+            merge_window=opts.merge_window,
+            assoc_window=opts.assoc_window,
         )
     out = aggregate_map_dense(
         map_state, gv, gn, vm, rgb, valid, opts.sigma, frame_labels=labels

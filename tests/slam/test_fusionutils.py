@@ -207,12 +207,15 @@ class TestCompactFusionEquivalence:
                 r.valid_depth_mask[:, 0, ..., 0],
             )
 
-        # seed map with frame 0 via the compact path
+        # seed map with frame 0 via the compact path (assoc_window=0 pins
+        # the full-arena program — the exact-equivalence oracle; the
+        # window tiers are compared separately below at ulp tolerance,
+        # XLA fuses the merge arithmetic differently per program shape)
         gv, gn, lv, rgb, vd = frame_arrays(rgbd0)
         m = init_map(B, cap)
         m = fusion_update_compact(
             m, gv, gn, lv, rgb, vd, rgbd0.poses[:, 0], rgbd0.intrinsics,
-            0.05, DOT_TH, 0.6, 4 * H * W,
+            0.05, DOT_TH, 0.6, 4 * H * W, assoc_window=0,
         )
 
         gv, gn, lv, rgb, vd = frame_arrays(rgbd1)
@@ -225,7 +228,7 @@ class TestCompactFusionEquivalence:
         # compact path
         m_fast = fusion_update_compact(
             m, gv, gn, lv, rgb, vd, pose1, rgbd1.intrinsics,
-            0.05, DOT_TH, 0.6, 4 * H * W,
+            0.05, DOT_TH, 0.6, 4 * H * W, assoc_window=0,
         )
         np.testing.assert_array_equal(
             np.asarray(m_fast.num_points), np.asarray(m_ref.num_points)
@@ -239,6 +242,70 @@ class TestCompactFusionEquivalence:
         np.testing.assert_allclose(
             np.asarray(m_fast.colors), np.asarray(m_ref.colors), atol=1e-6
         )
+
+    def _two_frame(self, frame0, frame1, cap_mult, **kw):
+        from gradslam_tpu.slam.fusionutils import fusion_update_compact
+        from gradslam_tpu.structures.maparena import init_map
+
+        rgbd0 = frame0.to_channels_last()
+        rgbd1 = frame1.to_channels_last()
+        B, _, H, W = rgbd0.shape
+        m = init_map(B, cap_mult * H * W)
+        for r in (rgbd0, rgbd1):
+            m = fusion_update_compact(
+                m,
+                r.global_vertex_map[:, 0],
+                r.global_normal_map[:, 0],
+                r.vertex_map[:, 0],
+                r.rgb_image[:, 0],
+                r.valid_depth_mask[:, 0, ..., 0],
+                r.poses[:, 0],
+                r.intrinsics,
+                0.05, DOT_TH, 0.6, 4 * H * W,
+                **kw,
+            )
+        return m
+
+    def test_assoc_window_matches_full(self, frame0, frame1):
+        """Capacity-windowed association must equal the full-arena program
+        while the map fits the window: same winners (ccounts/num_points
+        exact), values to within XLA fusion rounding (1-2 ulp)."""
+        H, W = frame0.shape[2], frame0.shape[3]
+        m_full = self._two_frame(frame0, frame1, 3, assoc_window=0)
+        # the golden clip appends < H*W points/frame, so 2*H*W is exact
+        m_win = self._two_frame(frame0, frame1, 3, assoc_window=2 * H * W)
+        assert int(np.asarray(m_win.num_points).max()) <= 2 * H * W
+        np.testing.assert_array_equal(
+            np.asarray(m_win.num_points), np.asarray(m_full.num_points)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_win.ccounts), np.asarray(m_full.ccounts)
+        )
+        for attr in ("points", "normals", "colors"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(m_win, attr)),
+                np.asarray(getattr(m_full, attr)),
+                rtol=1e-6, atol=1e-6,
+            )
+
+    def test_assoc_window_overflow_drops_deterministically(
+        self, frame0, frame1
+    ):
+        """Rows past the window are excluded from association: affected
+        pixels append duplicates (num_points grows vs the exact run), the
+        result is deterministic, and windowed rows are untouched."""
+        m_tiny = self._two_frame(frame0, frame1, 3, assoc_window=1024)
+        m_tiny2 = self._two_frame(frame0, frame1, 3, assoc_window=1024)
+        m_full = self._two_frame(frame0, frame1, 3, assoc_window=0)
+        assert int(np.asarray(m_full.num_points).min()) > 1024
+        # deterministic drop: bit-identical across runs
+        np.testing.assert_array_equal(
+            np.asarray(m_tiny.data), np.asarray(m_tiny2.data)
+        )
+        # unassociated points duplicate instead of merging
+        assert (
+            np.asarray(m_tiny.num_points) >= np.asarray(m_full.num_points)
+        ).all()
 
 
 class TestWinnerWritebackWindow:
@@ -264,16 +331,21 @@ class TestWinnerWritebackWindow:
                 r.valid_depth_mask[:, 0, ..., 0],
             )
 
+        # assoc_window=0: isolate the writeback comparison in the
+        # full-arena program (the window tiers change program shape and
+        # with it XLA's fusion rounding; they are tested separately)
         gv, gn, lv, rgb, vd = frame_arrays(rgbd0)
         m = init_map(B, cap)
         m = fusion_update_compact(
             m, gv, gn, lv, rgb, vd, rgbd0.poses[:, 0], rgbd0.intrinsics,
             0.05, DOT_TH, 0.6, 4 * H * W, merge_window=merge_window,
+            assoc_window=0,
         )
         gv, gn, lv, rgb, vd = frame_arrays(rgbd1)
         return fusion_update_compact(
             m, gv, gn, lv, rgb, vd, rgbd1.poses[:, 0], rgbd1.intrinsics,
             0.05, DOT_TH, 0.6, 4 * H * W, merge_window=merge_window,
+            assoc_window=0,
         )
 
     def test_window_matches_scatter(self, frame0, frame1):
@@ -312,18 +384,21 @@ class TestBlockGating:
                 r.valid_depth_mask[:, 0, ..., 0],
             )
 
+        # assoc_window=0 on the ungated reference: the block-gated path
+        # merges into the full arena, so compare against the full-arena
+        # program (same shapes -> same XLA fusion rounding)
         gv, gn, lv, rgb, vd = fa(rgbd0)
         m = init_map(B, cap)
         m = fusion_update_compact(
             m, gv, gn, lv, rgb, vd, rgbd0.poses[:, 0], rgbd0.intrinsics,
-            0.05, DOT_TH, 0.6, 2 * H * W,
+            0.05, DOT_TH, 0.6, 2 * H * W, assoc_window=0,
         )
 
         gv, gn, lv, rgb, vd = fa(rgbd1)
         pose1 = rgbd1.poses[:, 0]
         m_ref = fusion_update_compact(
             m, gv, gn, lv, rgb, vd, pose1, rgbd1.intrinsics,
-            0.05, DOT_TH, 0.6, 2 * H * W,
+            0.05, DOT_TH, 0.6, 2 * H * W, assoc_window=0,
         )
         m_gated = fusion_update_compact(
             m, gv, gn, lv, rgb, vd, pose1, rgbd1.intrinsics,

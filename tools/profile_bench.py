@@ -28,9 +28,11 @@ def run_and_trace(trace_dir):
     from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
 
     colors, depths, K = bench.load_sequence()
+    H, W = colors.shape[2], colors.shape[3]
     opts = SLAMOptions(
         odom="gradicp", numiters=bench.NUMITERS, dsratio=bench.DSRATIO,
-        fusion=True,
+        fusion=True, assoc=os.environ.get("PROF_ASSOC", "projective"),
+        assoc_window=int(os.environ.get("PROF_ASSOC_WINDOW", 2 * H * W)),
     )
     capacity = bench.L * colors.shape[2] * colors.shape[3]
     rgb, dep, Kj = jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(K)
