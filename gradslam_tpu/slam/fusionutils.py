@@ -705,20 +705,22 @@ def fusion_update_compact(
     # ---- winner merge: O(H*W), into the merge target -------------------
     # The target is the assoc prefix view when active (winner slots only
     # come from the window, and writing the view back is a static-offset
-    # update the compiler does in place; the writeback's layout copies
-    # then scale with the window, not capacity), else the full arena.
+    # update the compiler does in place; the writeback's layout work
+    # then scales with the window, not capacity), else the full arena.
     NT = merge_tgt.shape[1]
     wvalid = wslots < CAP
 
-    # winner attributes: ONE wide row gather from the merge target at
-    # wslots (the CAP sentinel clamps to the last target row — written
-    # back below only under wvalid); the winner's pixel is recomputed
-    # from the gathered position (same math on the same inputs as the
-    # value that won the sort — bitwise identical, and vectorized flops
-    # on HW rows are ~free while an extra payload channel in sort +
-    # scatter is not).
+    # winner attributes: ONE wide row gather — always from the ARENA
+    # (bitwise equal to reading the prefix view, but the TPU gather
+    # kernel consumes the arena's channel-major layout directly; reading
+    # the row-major VIEW made layout assignment relayout the whole
+    # arena first, 304 us/frame); the winner's pixel is recomputed from
+    # the gathered position (same math on the same inputs as the value
+    # that won the sort — bitwise identical, and vectorized flops on HW
+    # rows are ~free while an extra payload channel in sort + scatter is
+    # not).
     maw = jnp.take_along_axis(
-        merge_tgt, jnp.minimum(wslots, NT - 1)[..., None], axis=1
+        map_state.data, jnp.minimum(wslots, CAP - 1)[..., None], axis=1
     )  # (B, HW, 12)
     mpw, mnw, mcow, mccw = (
         maw[..., 0:3], maw[..., 3:6], maw[..., 6:9], maw[..., 9:10]
@@ -767,16 +769,32 @@ def fusion_update_compact(
         # slower, measured — so keep the full-width row scatter)
         label_ch = maw[..., 10:12]
     mrows = jnp.concatenate(mrows10 + [label_ch], axis=-1)  # (B, HW, 12)
-    new_tgt = _winner_writeback(
-        merge_tgt, wslots, wvalid, mrows, bw,
-        _resolve_merge_window(merge_window, H, W, NT),
-    )
     if NT == CAP:
-        data = new_tgt
+        data = _winner_writeback(
+            merge_tgt, wslots, wvalid, mrows, bw,
+            _resolve_merge_window(merge_window, H, W, NT),
+        )
     else:
-        # static-offset view write-back (in-place-able; no dynamic offset)
+        # STATIC window writeback: every valid winner slot is inside the
+        # prefix view by construction, so no span check / lax.cond /
+        # dynamic slicing is needed — invert the slot map with one s32
+        # rank scatter over the view, gather each view row's merge row,
+        # and select densely (all layout-friendly on the channel-major
+        # view). Then one static-offset update writes the view back.
+        rank = jnp.broadcast_to(
+            jnp.arange(HW, dtype=jnp.int32)[None, :], (B, HW)
+        )
+        inv = (
+            jnp.full((B, NT + 1), HW, jnp.int32)
+            .at[bw, jnp.where(wvalid, wslots, NT)]
+            .set(rank, mode="drop")
+        )[:, :NT]
+        rows = jnp.take_along_axis(
+            mrows, jnp.minimum(inv, HW - 1)[..., None], axis=1
+        )
+        new_view = jnp.where((inv < HW)[..., None], rows, merge_tgt)
         data = jax.lax.dynamic_update_slice(
-            map_state.data, new_tgt, (0, 0, 0)
+            map_state.data, new_view, (0, 0, 0)
         )
 
     pix_corr = model_img < CAP
