@@ -1,5 +1,6 @@
 from . import multihost
 from .mesh import make_mesh, shard_batch, shard_map_state
+from .pipeline import pipeline_mesh, pipelined_slam_sequence
 from .pose_refine import (
     PoseGraph,
     ba_refine,
@@ -17,6 +18,8 @@ from .sharded import (
 __all__ = [
     "multihost",
     "make_mesh",
+    "pipeline_mesh",
+    "pipelined_slam_sequence",
     "PoseGraph",
     "pose_graph_refine",
     "pose_graph_refine_sharded",

@@ -84,15 +84,31 @@ class SLAMOptions(NamedTuple):
     assoc_window: int = 0  # assoc prefix window rows (<=0 off = exact)
 
 
-def _frame_maps(rgb, depth, intrinsics, pose):
-    """Derived maps for a (B, H, W, ·) frame at the given (B, 4, 4) pose."""
+def _frame_maps_local(depth, intrinsics):
+    """Pose-INDEPENDENT derived maps for a (B, H, W, 1) depth frame:
+    (vertex map, normal map, valid mask) — the 'ingest' stage of the
+    pipeline-parallel schedule (parallel/pipeline.py): computable for
+    frame t+1 while frame t is still being localized/fused."""
     depth5 = depth[:, None]
-    vm = compute_vertex_map(depth5, intrinsics)
+    vm5 = compute_vertex_map(depth5, intrinsics)
     valid5 = depth5 > 0
-    nm = compute_normal_map(vm, valid5)
-    gv = compute_global_vertex_map(vm, pose[:, None], valid5)[:, 0]
-    gn = compute_global_normal_map(nm, pose[:, None])[:, 0]
-    return vm[:, 0], nm[:, 0], gv, gn, valid5[:, 0, ..., 0]
+    nm5 = compute_normal_map(vm5, valid5)
+    return vm5[:, 0], nm5[:, 0], valid5[:, 0, ..., 0]
+
+
+def _frame_maps(rgb, depth, intrinsics, pose, local_maps=None):
+    """Derived maps for a (B, H, W, ·) frame at the given (B, 4, 4) pose.
+
+    ``local_maps``: optional precomputed ``(vm, nm, valid)`` from
+    :func:`_frame_maps_local` (pipeline ingest handoff) — pose
+    application is the only work left."""
+    if local_maps is None:
+        local_maps = _frame_maps_local(depth, intrinsics)
+    vm, nm, valid = local_maps
+    valid5 = valid[:, None, ..., None]
+    gv = compute_global_vertex_map(vm[:, None], pose[:, None], valid5)[:, 0]
+    gn = compute_global_normal_map(nm[:, None], pose[:, None])[:, 0]
+    return vm, nm, gv, gn, valid
 
 
 def _odometry_candidates(map_state, cand_slots, cand_valid, app_start, win):
@@ -141,7 +157,8 @@ def _odometry_candidates(map_state, cand_slots, cand_valid, app_start, win):
 
 
 def _localize(
-    map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions, cand=None
+    map_state, prev_pose, rgb, depth, intrinsics, opts: SLAMOptions, cand=None,
+    local_maps=None,
 ):
     """Odometry: new pose for the live frame (reference icpslam.py:238-247).
 
@@ -159,7 +176,9 @@ def _localize(
     projection + compaction to A + H*W rows instead of the full arena.
     """
     B, H, W, _ = rgb.shape
-    vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
+    vm, nm, gv, gn, valid = _frame_maps(
+        rgb, depth, intrinsics, prev_pose, local_maps
+    )
     levels = tuple(opts.pyramid or (opts.dsratio,))
     tgt_caps = tuple(
         opts.tgt_capacity or _default_tgt_capacity(H, W, ds) for ds in levels
@@ -242,7 +261,8 @@ def _localize(
 
 
 def _localize_projective(
-    map_state, prev_pose, model_img, rgb, depth, intrinsics, opts: SLAMOptions
+    map_state, prev_pose, model_img, rgb, depth, intrinsics, opts: SLAMOptions,
+    local_maps=None,
 ):
     """Odometry via PROJECTIVE association against the carried model image.
 
@@ -255,7 +275,9 @@ def _localize_projective(
     """
     B, H, W, _ = rgb.shape
     CAP = map_state.capacity
-    _, _, gv, _, valid = _frame_maps(rgb, depth, intrinsics, prev_pose)
+    _, _, gv, _, valid = _frame_maps(
+        rgb, depth, intrinsics, prev_pose, local_maps
+    )
 
     # model image rows: ONE wide gather; validity packed as channel 7
     rows = jnp.take_along_axis(
@@ -308,10 +330,12 @@ def _default_tgt_capacity(H, W, ds):
 
 def _map_update(
     map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions,
-    return_active: bool = False, labels=None,
+    return_active: bool = False, labels=None, local_maps=None,
 ):
     """Mapping: fuse or aggregate the live frame into the arena."""
-    vm, nm, gv, gn, valid = _frame_maps(rgb, depth, intrinsics, pose)
+    vm, nm, gv, gn, valid = _frame_maps(
+        rgb, depth, intrinsics, pose, local_maps
+    )
     if opts.fusion:
         H, W = rgb.shape[1:3]
         return fusion_update_compact(
@@ -450,6 +474,7 @@ def slam_step_state(
     opts: SLAMOptions,
     gt_pose: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
+    local_maps=None,
 ) -> SLAMState:
     """One SLAM step on a :class:`SLAMState` (the scan body).
 
@@ -470,27 +495,29 @@ def slam_step_state(
             )
         pose = _localize_projective(
             state.map_state, state.pose, state.model_img,
-            rgb, depth, intrinsics, opts,
+            rgb, depth, intrinsics, opts, local_maps=local_maps,
         )
     elif opts.fusion and opts.reuse_actives:
         pose = _localize(
             state.map_state, state.pose, rgb, depth, intrinsics, opts,
             cand=(state.cand_slots, state.cand_valid, state.app_start),
+            local_maps=local_maps,
         )
     else:
         pose = _localize(
-            state.map_state, state.pose, rgb, depth, intrinsics, opts
+            state.map_state, state.pose, rgb, depth, intrinsics, opts,
+            local_maps=local_maps,
         )
     app_start = state.map_state.num_points
     if opts.fusion:
         m, (slots, valid, model_img) = _map_update(
             state.map_state, pose, rgb, depth, intrinsics, opts,
-            return_active=True, labels=labels,
+            return_active=True, labels=labels, local_maps=local_maps,
         )
     else:
         m = _map_update(
             state.map_state, pose, rgb, depth, intrinsics, opts,
-            labels=labels,
+            labels=labels, local_maps=local_maps,
         )
         slots, valid = state.cand_slots, state.cand_valid
         model_img = state.model_img
