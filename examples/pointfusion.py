@@ -35,6 +35,15 @@ parser.add_argument("--height", type=int, default=120)
 parser.add_argument("--width", type=int, default=160)
 parser.add_argument("--dsratio", type=int, default=4)
 parser.add_argument("--numiters", type=int, default=20)
+parser.add_argument(
+    "--assoc", default="knn", choices=("knn", "projective"),
+    help="odometry data association (projective: fast path)",
+)
+parser.add_argument(
+    "--assoc_window", type=int, default=0,
+    help="association working-set bound in arena rows "
+    "(0 = exact full arena; see docs/TUNING.md)",
+)
 parser.add_argument("--plot", action="store_true", help="show plotly figure")
 
 
@@ -64,7 +73,9 @@ def main():
 
     rgbdimages = RGBDImages(colors, depths, intrinsics, poses)
     slam = PointFusion(
-        odom=args.odometry, dsratio=args.dsratio, numiters=args.numiters
+        odom=args.odometry, dsratio=args.dsratio,
+        numiters=args.numiters, assoc=args.assoc,
+        assoc_window=args.assoc_window,
     )
     pointclouds, recovered_poses = slam(rgbdimages)
 

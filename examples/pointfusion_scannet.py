@@ -33,6 +33,15 @@ parser.add_argument("--height", type=int, default=240)
 parser.add_argument("--width", type=int, default=320)
 parser.add_argument("--plot", action="store_true")
 parser.add_argument(
+    "--assoc", default="knn", choices=("knn", "projective"),
+    help="odometry data association (projective: fast path)",
+)
+parser.add_argument(
+    "--assoc_window", type=int, default=0,
+    help="association working-set bound in arena rows "
+    "(0 = exact full arena; see docs/TUNING.md)",
+)
+parser.add_argument(
     "--semantic_ply",
     default=None,
     help="fuse the ScanNet semantic labels into the map and write a "
@@ -58,7 +67,10 @@ def main():
     rgbdimages = RGBDImages(
         colors[None], depths[None], intrinsics[None], poses[None]
     )
-    slam = PointFusion(odom=args.odometry)
+    slam = PointFusion(
+        odom=args.odometry, assoc=args.assoc,
+        assoc_window=args.assoc_window,
+    )
 
     if args.semantic_ply and labels is not None:
         # semantic mapping: fuse labels into the arena's label channels
