@@ -82,6 +82,8 @@ class SLAMOptions(NamedTuple):
     reuse_actives: bool = True  # odometry candidates from prev fusion step
     merge_window: int = -1  # fusion writeback window (-1 auto=2*H*W, 0 off)
     assoc_window: int = 0  # assoc prefix window rows (<=0 off = exact)
+    odom_targets: str = "map"  # aggregate mapping: 'map' (reference:
+    # all active points) | 'recent' (prev frame's appends — bounded cost)
 
 
 def _frame_maps_local(depth, intrinsics):
@@ -501,6 +503,22 @@ def slam_step_state(
         pose = _localize(
             state.map_state, state.pose, rgb, depth, intrinsics, opts,
             cand=(state.cand_slots, state.cand_valid, state.app_start),
+            local_maps=local_maps,
+        )
+    elif not opts.fusion and opts.odom_targets == "recent":
+        # Append-only mapping: the rows appended by the previous step ARE
+        # the previous frame's cloud, stored contiguously at
+        # [app_start, num_points) — classic frame-to-frame odometry with
+        # bounded cost (the prefix-window trick does not apply here: the
+        # arena prefix is append history, not a working set). The
+        # reference associates against ALL active map points
+        # ('map' mode) — in aggregate mapping those are duplicates of
+        # recent appends for any surface still in view.
+        B_ = rgb.shape[0]
+        empty = jnp.zeros((B_, 0), jnp.int32)
+        pose = _localize(
+            state.map_state, state.pose, rgb, depth, intrinsics, opts,
+            cand=(empty, empty.astype(bool), state.app_start),
             local_maps=local_maps,
         )
     else:

@@ -87,6 +87,29 @@ class TestOdometrySLAM:
             atol=1e-6,
         )
 
+    def test_aggregate_recent_targets_accuracy(self, msrd_data):
+        """odom_targets='recent' (aggregate mapping, odometry against the
+        previous frame's appended cloud — bounded cost) must track the GT
+        trajectory as well as the full-map association on the golden
+        clip."""
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        colors = jnp.asarray(msrd_data["colors"])
+        depths = jnp.asarray(msrd_data["depths"])
+        K = jnp.asarray(msrd_data["intrinsics"])
+        gt = msrd_data["poses"]
+        B, L, H, W = colors.shape[:4]
+        for tgt in ("map", "recent"):
+            opts = SLAMOptions(
+                odom="gradicp", numiters=10, dsratio=4, fusion=False,
+                odom_targets=tgt,
+            )
+            _, poses = slam_sequence(colors, depths, K, None, opts, L * H * W)
+            terr = np.linalg.norm(
+                np.asarray(poses)[..., :3, 3] - gt[..., :3, 3], axis=-1
+            )
+            assert terr.max() < 0.02, f"{tgt}: translation {terr.max()}"
+
 
 class TestProjectiveAssociation:
     """Projective-association odometry (assoc='projective'): the TPU-first
