@@ -207,8 +207,16 @@ def _localize(
 
         # capacity-windowed candidate compaction: same static prefix
         # window as the fusion association (live rows are a prefix); the
-        # target row gather stays on the full arena (indices absolute)
-        win = _resolve_assoc_window(opts.assoc_window, map_state.capacity)
+        # target row gather stays on the full arena (indices absolute).
+        # FUSION mapping only — in aggregate (append-only) mapping the
+        # prefix is append history, so windowing would silently pin the
+        # odometry targets to the first frames; use
+        # opts.odom_targets='recent' there instead (slam_step_state)
+        win = (
+            _resolve_assoc_window(opts.assoc_window, map_state.capacity)
+            if opts.fusion
+            else None
+        )
         if win is None:
             per_level = _level_targets(map_state.data, map_mask(map_state))
         else:
@@ -658,6 +666,11 @@ class ICPSLAM:
         if assoc not in ("knn", "projective"):
             raise ValueError(
                 f"association {assoc!r} not in ('knn', 'projective')"
+            )
+        odom_targets = kwargs.get("odom_targets", "map")
+        if odom_targets not in ("map", "recent"):
+            raise ValueError(
+                f"odom_targets {odom_targets!r} not in ('map', 'recent')"
             )
         if assoc == "projective" and not self._fusion:
             raise ValueError(

@@ -89,6 +89,37 @@ class TestSemanticFusion:
         # merged points started as 1, saw 2 three times -> flipped to 2
         assert (labs == 2.0).mean() > 0.9
 
+    def test_labels_with_assoc_window(self):
+        """Semantic fusion under the capacity-windowed association: same
+        labels/winners as the full-arena program (exact integer channels;
+        confidences within fusion-rounding ulp)."""
+        colors, depths, K, poses = _golden(L=3)
+        B, L, H, W, _ = colors.shape
+        lab = np.where(np.arange(W)[None, :] < W // 2, 1.0, 2.0)
+        labels = jnp.asarray(
+            np.broadcast_to(lab, (B, L, H, W)).astype(np.float32)
+        )
+        out = {}
+        for aw in (0, 2 * H * W):
+            opts = SLAMOptions(odom="gt", fusion=True, assoc_window=aw)
+            m, _ = slam_sequence(
+                colors, depths, K, poses, opts, 3 * H * W,
+                labels_seq=labels,
+            )
+            out[aw] = m
+        np.testing.assert_array_equal(
+            np.asarray(out[0].num_points),
+            np.asarray(out[2 * H * W].num_points),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[0].labels), np.asarray(out[2 * H * W].labels)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0].label_conf),
+            np.asarray(out[2 * H * W].label_conf),
+            rtol=1e-6, atol=1e-6,
+        )
+
     def test_no_labels_unchanged(self):
         # without labels the semantic channels stay zero and results match
         colors, depths, K, poses = _golden(L=3)
