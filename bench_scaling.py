@@ -15,7 +15,6 @@ Usage:
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -32,14 +31,10 @@ def main():
     args = ap.parse_args()
 
     if not args.real:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={args.devices}"
-        ).strip()
-    import jax
+        from gradslam_tpu.utils.devices import force_virtual_cpu_devices
 
-    if not args.real:
-        jax.config.update("jax_platforms", "cpu")
+        force_virtual_cpu_devices(args.devices)
+    import jax
     import jax.numpy as jnp
     import numpy as np
 

@@ -405,6 +405,12 @@ def slam_step(
                 "the stateful API (slam_init_state/slam_step_state or "
                 "slam_sequence) instead of slam_step"
             )
+        if not opts.fusion and opts.odom_targets == "recent":
+            raise ValueError(
+                "odom_targets='recent' needs the carried append window "
+                "(app_start) — use the stateful API (slam_init_state/"
+                "slam_step_state or slam_sequence) instead of slam_step"
+            )
         pose = _localize(map_state, prev_pose, rgb, depth, intrinsics, opts)
     new_map = _map_update(map_state, pose, rgb, depth, intrinsics, opts)
     return new_map, pose
@@ -672,9 +678,22 @@ class ICPSLAM:
             raise ValueError(
                 f"odom_targets {odom_targets!r} not in ('map', 'recent')"
             )
+        if odom_targets == "recent" and self._fusion:
+            raise ValueError(
+                "odom_targets='recent' applies to aggregate mapping "
+                "(ICPSLAM) only; fusion odometry already reuses the "
+                "previous fusion step's active set"
+            )
         if assoc == "projective" and not self._fusion:
             raise ValueError(
                 "assoc='projective' requires fusion mapping (PointFusion)"
+            )
+        if kwargs.get("assoc_window", 0) > 0 and not self._fusion:
+            raise ValueError(
+                "assoc_window requires fusion mapping (PointFusion): in "
+                "aggregate mapping the arena prefix is append history, "
+                "not a working set — use odom_targets='recent' to bound "
+                "odometry cost instead"
             )
         self.odom = odom
         self._jit_step = None

@@ -168,6 +168,80 @@ class TestProjectiveAssociation:
             )
 
 
+class TestAssocWindowOdometry:
+    """The capacity-windowed association as the ODOMETRY target set
+    (fusion mapping only — in aggregate mapping the arena prefix is
+    append history, not a working set)."""
+
+    def test_windowed_odometry_matches_full_arena(self, rgbd, msrd_data):
+        """Fusion + real odometry + cand=None (reuse_actives=False) is the
+        one path where assoc_window gates the odometry targets in
+        _localize; on the golden clip every live row fits the window, so
+        the trajectory must match the exact full-arena program."""
+        out = {}
+        for aw in (0, 2 * 120 * 160):
+            slam = PointFusion(
+                odom="gradicp", numiters=10, assoc_window=aw,
+                reuse_actives=False,
+            )
+            _, poses = slam(rgbd)
+            out[aw] = np.asarray(poses)
+        np.testing.assert_allclose(
+            out[0], out[2 * 120 * 160], rtol=1e-5, atol=1e-6
+        )
+        terr = np.linalg.norm(
+            out[2 * 120 * 160][..., :3, 3] - msrd_data["poses"][..., :3, 3],
+            axis=-1,
+        )
+        assert terr.max() < 0.02
+
+    def test_aggregate_rejects_assoc_window(self):
+        with pytest.raises(ValueError, match="assoc_window"):
+            ICPSLAM(odom="gradicp", assoc_window=4096)
+
+    def test_aggregate_options_ignore_window(self, msrd_data):
+        """SLAMOptions users can still hand-build fusion=False +
+        assoc_window (ICPSLAM rejects it); the odometry window must then
+        be IGNORED — a tiny window would otherwise pin the targets to
+        the oldest appended rows and visibly bend the trajectory."""
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+        colors = jnp.asarray(msrd_data["colors"])
+        depths = jnp.asarray(msrd_data["depths"])
+        K = jnp.asarray(msrd_data["intrinsics"])
+        B, L, H, W = colors.shape[:4]
+        out = {}
+        for aw in (0, (H * W) // 8):
+            opts = SLAMOptions(
+                odom="gradicp", numiters=5, fusion=False, assoc_window=aw
+            )
+            _, poses = slam_sequence(colors, depths, K, None, opts, L * H * W)
+            out[aw] = np.asarray(poses)
+        np.testing.assert_array_equal(out[0], out[(H * W) // 8])
+
+    def test_fusion_rejects_recent_targets(self):
+        with pytest.raises(ValueError, match="recent"):
+            PointFusion(odom="gradicp", odom_targets="recent")
+
+    def test_slam_step_rejects_recent_targets(self):
+        from gradslam_tpu.slam.icpslam import SLAMOptions, slam_step
+        from gradslam_tpu.structures.maparena import init_map
+
+        opts = SLAMOptions(
+            odom="gradicp", fusion=False, odom_targets="recent"
+        )
+        m = init_map(1, 1024)
+        with pytest.raises(ValueError, match="stateful API"):
+            slam_step(
+                m,
+                jnp.broadcast_to(jnp.eye(4), (1, 4, 4)),
+                jnp.zeros((1, 8, 8, 3)),
+                jnp.ones((1, 8, 8, 1)),
+                jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
+                opts,
+            )
+
+
 class TestIncrementalStep:
     def test_step_matches_forward(self, rgbd, msrd_data):
         from gradslam_tpu.structures import init_map, map_to_pointclouds
