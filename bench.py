@@ -6,10 +6,10 @@ Frames come from the real golden RGB-D clip (tests/data/msrd_b2s3, 120x160)
 cycled to sequence length 10.
 
 The reference publishes no numbers (BASELINE.md), so the baseline is
-measured: the reference-equivalent pipeline (KNN data association — the
-only association the reference implements) run on one CPU host (the
-reference's own CI/examples target CPU torch). The CPU number is cached
-in .bench_baseline.json after the first run.
+measured: the ACTUAL PyTorch reference (/root/reference, shimmed via
+tools/refshims/ — see tools/run_reference.py) run on one CPU host at the
+same operating point (the reference's own CI/examples target CPU torch).
+The CPU number is cached in .bench_baseline.json after the first run.
 
 The TPU headline uses this framework's projective-association fast path
 (assoc='projective': O(S) association against the fused model image
@@ -22,7 +22,6 @@ Prints one JSON line:
 """
 
 import json
-import os
 import pathlib
 import subprocess
 import sys
@@ -77,17 +76,19 @@ def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
 
     # Return a scalar checksum and synchronize by fetching it to host:
     # device_get is the only reliable sync point on every backend (some
-    # remote backends treat block_until_ready as a no-op).
+    # remote backends treat block_until_ready as a no-op). The
+    # window-overflow guard is a SEPARATE boolean output (not folded into
+    # the checksum) so a NaN or large checksum can't masquerade as an
+    # overflow.
     def _run(r, d, k):
         m, poses = slam_sequence(r, d, k, None, opts, capacity)
-        return poses.sum() + m.points.sum() + 1e9 * (
-            jnp.max(m.num_points) > window if window else 0.0
-        )
+        overflow = jnp.max(m.num_points) > window if window else jnp.array(False)
+        return poses.sum() + m.points.sum(), overflow
 
     fn = jax.jit(_run)
     if window:
-        chk = float(fn(rgb, dep, Kj))
-        assert chk < 1e8, (
+        _, overflow = fn(rgb, dep, Kj)
+        assert not bool(overflow), (
             "map outgrew assoc_window — headline invalid; rerun with "
             "assoc_window=False"
         )
@@ -99,7 +100,7 @@ def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
     prev = None
     for _ in range(8):
         t = time.perf_counter()
-        float(fn(rgb, dep, Kj))
+        float(fn(rgb, dep, Kj)[0])
         dt_w = time.perf_counter() - t
         if prev is not None and dt_w > 0.7 * prev:
             break
@@ -114,7 +115,7 @@ def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
     # The final fetch depends on all reps, so the wall time still covers
     # every frame processed.
     t0 = time.perf_counter()
-    outs = [fn(rgb, dep, Kj) for _ in range(reps)]
+    outs = [fn(rgb, dep, Kj)[0] for _ in range(reps)]
     acc = outs[0]
     for s in outs[1:]:
         acc = acc + s
@@ -124,33 +125,36 @@ def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
 
 
 def measure_cpu_baseline():
-    """Runs the identical workload on CPU in a subprocess, caching result."""
+    """Measures the ACTUAL PyTorch reference on CPU (cached).
+
+    tools/run_reference.py runs /root/reference's PointFusion+gradICP
+    (open3d/kornia/chamferdist shimmed — the numerical path is entirely
+    the reference's own code) on the identical clip and operating point,
+    so vs_baseline reads "our TPU build vs the real reference on the
+    reference's own CI hardware (CPU torch)".
+    """
     if BASELINE_CACHE.exists():
         return json.loads(BASELINE_CACHE.read_text())["cpu_frames_per_sec"]
-    # reference-equivalent pipeline: KNN association (what the reference
-    # implements), so vs_baseline reads "our TPU build vs the reference
-    # algorithm on the reference's own CI hardware"
-    code = (
-        "import jax; jax.config.update('jax_platforms','cpu');"
-        "import bench; print('CPUFPS', bench.run_pipeline("
-        "reps=2, assoc='knn', assoc_window=False))"
-    )
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
     try:
         out = subprocess.run(
-            [sys.executable, "-c", code],
+            [sys.executable, str(ROOT / "tools" / "run_reference.py"), "bench"],
             capture_output=True,
             text=True,
             cwd=ROOT,
-            env=env,
             timeout=3600,
         )
         for line in out.stdout.splitlines():
-            if line.startswith("CPUFPS"):
-                fps = float(line.split()[1])
+            if line.startswith("{"):
+                rec = json.loads(line)
+                fps = rec["value"]
                 BASELINE_CACHE.write_text(
-                    json.dumps({"cpu_frames_per_sec": fps})
+                    json.dumps(
+                        {
+                            "cpu_frames_per_sec": fps,
+                            "source": "pytorch reference via tools/run_reference.py",
+                            "runtimes_s": rec.get("runtimes_s"),
+                        }
+                    )
                 )
                 return fps
         sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
