@@ -4,6 +4,8 @@ from .pipeline import pipeline_mesh, pipelined_slam_sequence
 from .pose_refine import (
     PoseGraph,
     ba_refine,
+    ba_refine_sharded,
+    partition_observations_by_landmark,
     pose_graph_refine,
     pose_graph_refine_sharded,
 )
@@ -24,6 +26,8 @@ __all__ = [
     "pose_graph_refine",
     "pose_graph_refine_sharded",
     "ba_refine",
+    "ba_refine_sharded",
+    "partition_observations_by_landmark",
     "sequence_parallel_slam",
     "merge_chunk_maps",
     "shard_batch",

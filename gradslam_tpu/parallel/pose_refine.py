@@ -19,6 +19,16 @@ Components:
   - :func:`ba_refine` — point-landmark bundle adjustment with the
     landmark block eliminated by a Schur complement (H_ll is 3x3
     block-diagonal), solving only the reduced 6L x 6L camera system.
+    Memory is O(N_obs + L^2 + M): the pose-pose coupling is accumulated
+    from observation PAIRS within each landmark's (sorted, contiguous)
+    segment — never a dense (M, L, ...) cross table.
+  - :func:`ba_refine_sharded` — distributed BA: observations partitioned
+    over the mesh BY LANDMARK OWNERSHIP (every landmark's observations
+    live on exactly one shard, so its H_ll block and Schur coupling are
+    complete locally), per-shard H_cc / S / rhs contributions
+    ``psum``-reduced, reduced camera system solved replicated, landmark
+    back-substitution shard-local. Correctness oracle: the single-device
+    :func:`ba_refine` solution of the same system.
 """
 
 from __future__ import annotations
@@ -38,6 +48,8 @@ __all__ = [
     "pose_graph_refine",
     "pose_graph_refine_sharded",
     "ba_refine",
+    "ba_refine_sharded",
+    "partition_observations_by_landmark",
 ]
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -221,7 +233,164 @@ def pose_graph_refine_sharded(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _ba_linearize(poses, landmarks, obs_pose, obs_lm, obs_pts, weights):
+    """Per-observation residuals + Jacobians.
+
+    Observation model: landmark ``l`` seen from pose ``p`` at camera-frame
+    position ``obs_pts``; residual ``r = T_p^-1 X_l - obs``. Weight w
+    scales r and J by sqrt(w) so the normal equations see w (w=0 disables
+    an observation — used for static-shape padding when sharding).
+
+    Returns (r (N, 3), Jp (N, 3, 6), Jl (N, 3, 3)).
+    """
+    T_p = poses[obs_pose]  # (N, 4, 4)
+    X_l = landmarks[obs_lm]  # (N, 3)
+
+    def obs_residual(xi, dX, T, X, z):
+        Tp = jnp.matmul(se3_exp(xi), T)
+        Xw = X + dX
+        tinv = inverse_transformation(Tp)
+        pred = jnp.matmul(tinv[:3, :3], Xw) + tinv[:3, 3]
+        return pred - z
+
+    zeros6 = jnp.zeros(6, dtype=poses.dtype)
+    zeros3 = jnp.zeros(3, dtype=poses.dtype)
+
+    def per_obs(T, X, z, w):
+        r = obs_residual(zeros6, zeros3, T, X, z)
+        Jp = jax.jacfwd(obs_residual, argnums=0)(zeros6, zeros3, T, X, z)
+        Jl = jax.jacfwd(obs_residual, argnums=1)(zeros6, zeros3, T, X, z)
+        sw = jnp.sqrt(w)
+        return r * sw, Jp * sw, Jl * sw
+
+    return jax.vmap(per_obs)(T_p, X_l, obs_pts, weights)
+
+
+def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
+    """Pose-pose Schur coupling sum_l U_l Hll^-1 U_l^T as (L, 6, L, 6).
+
+    Observations MUST be sorted by landmark (each landmark's observations
+    contiguous). The coupling expands into ordered observation PAIRS
+    within each landmark segment: pair (n, n') contributes
+    ``V_n W_n'^T`` at pose block (pose_n, pose_n'). Pairs at offset d are
+    matched by shifting the sorted arrays — O(N * k_max) work and O(N)
+    memory, never a dense (M, L) cross table.
+
+    ``k_max``: static upper bound on observations per landmark.
+    """
+    N = obs_pose.shape[0]
+    # d = 0: every observation pairs with itself
+    A0 = jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH)  # (N, 6, 6)
+    S = jnp.zeros((L, 6, L, 6), dtype=V.dtype)
+    S = S.at[obs_pose, :, obs_pose, :].add(A0)
+    for d in range(1, min(k_max, N)):
+        same = (obs_lm[:-d] == obs_lm[d:]).astype(V.dtype)[:, None, None]
+        A = (
+            jnp.einsum("nac,nbc->nab", V[:-d], W_obs[d:], precision=_HIGH)
+            * same
+        )
+        S = S.at[obs_pose[:-d], :, obs_pose[d:], :].add(A)
+        # (n+d, n) block = transpose of (n, n+d): V_m W_n^T = (V_n W_m^T)^T
+        # because Hll^-1 is symmetric.
+        S = S.at[obs_pose[d:], :, obs_pose[:-d], :].add(
+            jnp.swapaxes(A, -1, -2)
+        )
+    return S
+
+
+def _ba_iteration(
+    poses,
+    landmarks,
+    obs_pose,
+    obs_lm,
+    obs_pts,
+    weights,
+    k_max,
+    damping,
+    anchor_weight,
+    axis=None,
+):
+    """One Schur-complement GN iteration (obs sorted by landmark).
+
+    With ``axis`` set (inside shard_map, observations partitioned by
+    landmark ownership): H_cc, the coupling S, bc and the rhs coupling are
+    per-shard partial sums psum-reduced over ``axis``; H_ll / bl /
+    back-substitution stay shard-local because every landmark's
+    observations are entirely on its owner shard.
+    """
+    L = poses.shape[0]
+    M = landmarks.shape[0]
+
+    r, Jp, Jl = _ba_linearize(
+        poses, landmarks, obs_pose, obs_lm, obs_pts, weights
+    )
+
+    Hcc = jnp.zeros((L, 6, 6), dtype=poses.dtype)
+    Hll = jnp.zeros((M, 3, 3), dtype=poses.dtype)
+    bc = jnp.zeros((L, 6), dtype=poses.dtype)
+    bl = jnp.zeros((M, 3), dtype=poses.dtype)
+
+    Hcc = Hcc.at[obs_pose].add(
+        jnp.einsum("nab,nac->nbc", Jp, Jp, precision=_HIGH)
+    )
+    Hll = Hll.at[obs_lm].add(
+        jnp.einsum("nab,nac->nbc", Jl, Jl, precision=_HIGH)
+    )
+    bc = bc.at[obs_pose].add(jnp.einsum("nab,na->nb", Jp, r, precision=_HIGH))
+    bl = bl.at[obs_lm].add(jnp.einsum("nab,na->nb", Jl, r, precision=_HIGH))
+    W_obs = jnp.einsum("nab,nac->nbc", Jp, Jl, precision=_HIGH)  # (N, 6, 3)
+
+    # invert landmark blocks (damped). Sharded: local Hll is COMPLETE for
+    # owned landmarks (landmark-ownership partition) and zero elsewhere,
+    # so no psum is needed — non-owned blocks invert to I/damping but
+    # never contribute (their V/bl/W rows are all on the owner shard).
+    Hll = Hll + jnp.eye(3, dtype=poses.dtype) * damping
+    Hll_inv = jnp.linalg.inv(Hll)  # (M, 3, 3)
+
+    V = jnp.einsum("nab,nbc->nac", W_obs, Hll_inv[obs_lm], precision=_HIGH)
+
+    S = _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max)
+    # rhs coupling: rhs_p -= sum_{n: pose p} V_n bl[lm_n]
+    coup = jnp.zeros((L, 6), dtype=poses.dtype)
+    coup = coup.at[obs_pose].add(
+        jnp.einsum("nab,nb->na", V, bl[obs_lm], precision=_HIGH)
+    )
+
+    Hcc_full = Hcc
+    if axis is not None:
+        Hcc_full = jax.lax.psum(Hcc, axis)
+        S = jax.lax.psum(S, axis)
+        bc = jax.lax.psum(bc, axis)
+        coup = jax.lax.psum(coup, axis)
+
+    Sfull = -S
+    Sfull = Sfull.at[jnp.arange(L), :, jnp.arange(L), :].add(Hcc_full)
+    rhs = bc - coup
+
+    # gauge anchor + damping, solve reduced camera system (replicated)
+    Sfull = Sfull.at[0, :, 0, :].add(
+        jnp.eye(6, dtype=poses.dtype) * anchor_weight
+    )
+    Sm = Sfull.reshape(L * 6, L * 6) + jnp.eye(L * 6, dtype=poses.dtype) * damping
+    delta_c = jnp.linalg.solve(Sm, -rhs.reshape(L * 6)).reshape(L, 6)
+
+    # back-substitute landmarks: delta_l = -Hll^-1 (bl + W^T delta_c).
+    # Shard-local; non-owned landmarks get exactly 0 (bl and Wt_dc zero),
+    # so the cross-shard psum of deltas recovers every owner's update.
+    Wt_dc = jnp.zeros((M, 3), dtype=poses.dtype)
+    Wt_dc = Wt_dc.at[obs_lm].add(
+        jnp.einsum("nbc,nb->nc", W_obs, delta_c[obs_pose], precision=_HIGH)
+    )
+    delta_l = -jnp.einsum("mab,mb->ma", Hll_inv, bl + Wt_dc, precision=_HIGH)
+    if axis is not None:
+        delta_l = jax.lax.psum(delta_l, axis)
+
+    return jnp.matmul(se3_exp(delta_c), poses), landmarks + delta_l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_iters", "max_obs_per_landmark")
+)
 def ba_refine(
     poses: jnp.ndarray,
     landmarks: jnp.ndarray,
@@ -232,115 +401,173 @@ def ba_refine(
     num_iters: int = 5,
     damping: float = 1e-4,
     anchor_weight: float = 1e6,
+    max_obs_per_landmark: Optional[int] = None,
 ):
     """Point-landmark bundle adjustment with Schur-complement elimination.
 
-    Observation model: landmark ``l`` seen from pose ``p`` at camera-frame
-    position ``obs_pts``; residual ``r = T_p^-1 X_l - obs``. The landmark
-    block H_ll is 3x3 block-diagonal and eliminated analytically; only the
-    reduced (6L, 6L) camera system is solved. This is the reduced-camera
-    Schur trick that makes distributed BA tractable: per-shard
-    contributions to H_cc, H_ll, W and the rhs are plain sums (psum-able).
+    The landmark block H_ll is 3x3 block-diagonal and eliminated
+    analytically; only the reduced (6L, 6L) camera system is solved. The
+    pose-pose coupling is accumulated from observation pairs within each
+    landmark's segment (observations are sorted by landmark internally) —
+    memory O(N + L^2 + M), compute O(N * max_obs_per_landmark).
 
     Args:
         poses: (L, 4, 4); landmarks: (M, 3).
         obs_pose / obs_lm: (N,) int32 indices; obs_pts: (N, 3).
         weights: optional (N,) observation weights.
+        max_obs_per_landmark: static bound on observations of one
+            landmark (defaults to L — tighten it for large L).
 
     Returns:
         (refined_poses (L, 4, 4), refined_landmarks (M, 3)).
     """
     L = poses.shape[0]
-    M = landmarks.shape[0]
     N = obs_pts.shape[0]
     if weights is None:
         weights = jnp.ones((N,), dtype=poses.dtype)
+    k_max = L if max_obs_per_landmark is None else max_obs_per_landmark
+
+    # sort once so each landmark's observations are contiguous
+    order = jnp.argsort(obs_lm)
+    obs_pose = obs_pose[order]
+    obs_lm = obs_lm[order]
+    obs_pts = obs_pts[order]
+    weights = weights[order]
 
     def body(_, state):
         poses, landmarks = state
-
-        T_p = poses[obs_pose]  # (N, 4, 4)
-        X_l = landmarks[obs_lm]  # (N, 3)
-
-        def obs_residual(xi, dX, T, X, z):
-            Tp = jnp.matmul(se3_exp(xi), T)
-            Xw = X + dX
-            tinv = inverse_transformation(Tp)
-            pred = jnp.matmul(tinv[:3, :3], Xw) + tinv[:3, 3]
-            return pred - z
-
-        zeros6 = jnp.zeros(6, dtype=poses.dtype)
-        zeros3 = jnp.zeros(3, dtype=poses.dtype)
-
-        def per_obs(T, X, z, w):
-            r = obs_residual(zeros6, zeros3, T, X, z)
-            Jp = jax.jacfwd(obs_residual, argnums=0)(zeros6, zeros3, T, X, z)
-            Jl = jax.jacfwd(obs_residual, argnums=1)(zeros6, zeros3, T, X, z)
-            sw = jnp.sqrt(w)
-            return r * sw, Jp * sw, Jl * sw
-
-        r, Jp, Jl = jax.vmap(per_obs)(T_p, X_l, obs_pts, weights)
-
-        # block accumulations
-        Hcc = jnp.zeros((L, 6, 6), dtype=poses.dtype)
-        Hll = jnp.zeros((M, 3, 3), dtype=poses.dtype)
-        bc = jnp.zeros((L, 6), dtype=poses.dtype)
-        bl = jnp.zeros((M, 3), dtype=poses.dtype)
-
-        Hcc = Hcc.at[obs_pose].add(
-            jnp.einsum("nab,nac->nbc", Jp, Jp, precision=_HIGH)
+        return _ba_iteration(
+            poses,
+            landmarks,
+            obs_pose,
+            obs_lm,
+            obs_pts,
+            weights,
+            k_max,
+            damping,
+            anchor_weight,
         )
-        Hll = Hll.at[obs_lm].add(
-            jnp.einsum("nab,nac->nbc", Jl, Jl, precision=_HIGH)
-        )
-        bc = bc.at[obs_pose].add(
-            jnp.einsum("nab,na->nb", Jp, r, precision=_HIGH)
-        )
-        bl = bl.at[obs_lm].add(
-            jnp.einsum("nab,na->nb", Jl, r, precision=_HIGH)
-        )
-        W_obs = jnp.einsum("nab,nac->nbc", Jp, Jl, precision=_HIGH)  # (N,6,3)
-
-        # invert landmark blocks (damped)
-        Hll = Hll + jnp.eye(3, dtype=poses.dtype) * damping
-        Hll_inv = jnp.linalg.inv(Hll)  # (M, 3, 3)
-
-        # Schur complement S = Hcc(diag) - sum_l U_l Hll^-1 U_l^T where
-        # U_l[p] = sum of W blocks of observations of landmark l from pose
-        # p. Landmark-indexed accumulators make the pose-pose coupling a
-        # single contraction (per-shard sums of G1/G2/Hcc/b are what gets
-        # psum-reduced in the distributed setting).
-        V = jnp.einsum("nab,nbc->nac", W_obs, Hll_inv[obs_lm], precision=_HIGH)
-        G1 = jnp.zeros((M, L, 6, 3), dtype=poses.dtype)
-        G1 = G1.at[obs_lm, obs_pose].add(V)  # W Hll^-1, grouped (lm, pose)
-        G2 = jnp.zeros((M, L, 6, 3), dtype=poses.dtype)
-        G2 = G2.at[obs_lm, obs_pose].add(W_obs)
-
-        S = jnp.zeros((L, 6, L, 6), dtype=poses.dtype)
-        S = S.at[jnp.arange(L), :, jnp.arange(L), :].add(Hcc)
-        S = S - jnp.einsum("mpac,mqbc->paqb", G1, G2, precision=_HIGH)
-
-        rhs = bc - jnp.einsum("mpac,mc->pa", G1, bl, precision=_HIGH)
-
-        # gauge anchor + damping, solve reduced camera system
-        S = S.at[0, :, 0, :].add(
-            jnp.eye(6, dtype=poses.dtype) * anchor_weight
-        )
-        Sm = S.reshape(L * 6, L * 6) + jnp.eye(L * 6, dtype=poses.dtype) * damping
-        delta_c = jnp.linalg.solve(Sm, -rhs.reshape(L * 6)).reshape(L, 6)
-
-        # back-substitute landmarks:
-        # delta_l = -Hll^-1 (bl + W^T delta_c) per landmark
-        Wt_dc = jnp.zeros((M, 3), dtype=poses.dtype)
-        Wt_dc = Wt_dc.at[obs_lm].add(
-            jnp.einsum("nbc,nb->nc", W_obs, delta_c[obs_pose], precision=_HIGH)
-        )
-        delta_l = -jnp.einsum(
-            "mab,mb->ma", Hll_inv, bl + Wt_dc, precision=_HIGH
-        )
-
-        new_poses = jnp.matmul(se3_exp(delta_c), poses)
-        new_landmarks = landmarks + delta_l
-        return new_poses, new_landmarks
 
     return jax.lax.fori_loop(0, num_iters, body, (poses, landmarks))
+
+
+def partition_observations_by_landmark(obs_pose, obs_lm, obs_pts, weights, n):
+    """Host-side prep for :func:`ba_refine_sharded`.
+
+    Sorts observations by landmark and splits them into ``n`` shards at
+    landmark boundaries (every landmark's observations land on exactly
+    one shard — "landmark ownership"), padding shards to equal length
+    with weight-0 observations.
+
+    Returns (obs_pose (n, Ns), obs_lm (n, Ns), obs_pts (n, Ns, 3),
+    weights (n, Ns), max_obs_per_landmark).
+    """
+    import numpy as np
+
+    obs_pose = np.asarray(obs_pose)
+    obs_lm = np.asarray(obs_lm)
+    obs_pts = np.asarray(obs_pts)
+    weights = np.asarray(weights)
+    N = obs_lm.shape[0]
+
+    order = np.argsort(obs_lm, kind="stable")
+    obs_pose, obs_lm, obs_pts, weights = (
+        obs_pose[order],
+        obs_lm[order],
+        obs_pts[order],
+        weights[order],
+    )
+    uniq, starts, counts = np.unique(
+        obs_lm, return_index=True, return_counts=True
+    )
+    k_max = int(counts.max()) if counts.size else 1
+    # segment s goes to the shard its cumulative midpoint falls in
+    cum = np.cumsum(counts) - counts / 2.0
+    shard_of_seg = np.minimum((cum * n / max(N, 1)).astype(int), n - 1)
+
+    per_shard = [[] for _ in range(n)]
+    for s, st, c in zip(shard_of_seg, starts, counts):
+        per_shard[s].append((st, c))
+    Ns = max(
+        (sum(c for _, c in segs) for segs in per_shard), default=1
+    )
+    Ns = max(Ns, 1)
+
+    out_pose = np.zeros((n, Ns), obs_pose.dtype)
+    out_lm = np.zeros((n, Ns), obs_lm.dtype)
+    out_pts = np.zeros((n, Ns, 3), obs_pts.dtype)
+    out_w = np.zeros((n, Ns), weights.dtype)
+    for s, segs in enumerate(per_shard):
+        o = 0
+        for st, c in segs:
+            sl = slice(st, st + c)
+            out_pose[s, o : o + c] = obs_pose[sl]
+            out_lm[s, o : o + c] = obs_lm[sl]
+            out_pts[s, o : o + c] = obs_pts[sl]
+            out_w[s, o : o + c] = weights[sl]
+            o += c
+    return out_pose, out_lm, out_pts, out_w, k_max
+
+
+def ba_refine_sharded(
+    poses: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    obs_pose: jnp.ndarray,
+    obs_lm: jnp.ndarray,
+    obs_pts: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    weights: Optional[jnp.ndarray] = None,
+    num_iters: int = 5,
+    damping: float = 1e-4,
+    anchor_weight: float = 1e6,
+):
+    """Distributed Schur-complement BA (SURVEY §2.9 north-star deliverable).
+
+    Observations are partitioned over the mesh by LANDMARK OWNERSHIP
+    (:func:`partition_observations_by_landmark`): each landmark's
+    observations are entirely on one shard, so its 3x3 H_ll block, its
+    Schur coupling pairs, and its back-substitution are shard-local.
+    Cross-shard communication is exactly four psums per iteration — the
+    (L,6,6) H_cc blocks, the (L,6,L,6) coupling, the (L,6) gradient and
+    rhs coupling — plus one (M,3) psum of landmark deltas. Per-shard
+    memory is O(N/n + L^2 + M).
+
+    Returns (refined_poses (L, 4, 4), refined_landmarks (M, 3)).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+    N = obs_pts.shape[0]
+    if weights is None:
+        weights = jnp.ones((N,), dtype=poses.dtype)
+    s_pose, s_lm, s_pts, s_w, k_max = partition_observations_by_landmark(
+        obs_pose, obs_lm, obs_pts, weights, n
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    def refine(poses, landmarks, op, ol, opts_, ow):
+        op, ol, opts_, ow = op[0], ol[0], opts_[0], ow[0]
+
+        def body(_, state):
+            p, lm = state
+            return _ba_iteration(
+                p, lm, op, ol, opts_, ow, k_max, damping, anchor_weight,
+                axis=axis,
+            )
+
+        return jax.lax.fori_loop(0, num_iters, body, (poses, landmarks))
+
+    return jax.jit(refine)(
+        poses,
+        landmarks,
+        jnp.asarray(s_pose),
+        jnp.asarray(s_lm),
+        jnp.asarray(s_pts),
+        jnp.asarray(s_w),
+    )
