@@ -45,17 +45,28 @@ def sharded_slam(
     opts: SLAMOptions,
     capacity: int,
 ):
-    """Runs slam_sequence with batch sharded over the 'data' mesh axis.
+    """Runs slam_sequence with batch sharded over the 'data' mesh axis and
+    the map arena PARTITIONED over the 'map' axis.
 
-    Returns (map_state, poses) with the arena sharded (data, map) and
-    poses sharded (data,).
+    The arena sharding is pinned on the scan carry every frame
+    (``slam_sequence(arena_sharding=...)``), so GSPMD keeps the (B, CAP,
+    12) arena split across 'map' devices through association/fusion —
+    the big state never replicates; frame images (small) do.
+
+    Returns (map_state, poses): ``map_state.data`` sharded
+    ``P('data', 'map')``, poses sharded ``P('data')``.
     """
     data_s = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
+    arena_s = NamedSharding(mesh, P("data", "map"))
     in_shardings = (data_s, data_s, data_s, None if poses_seq is None else data_s)
 
     fn = jax.jit(
-        functools.partial(slam_sequence, opts=opts, capacity=capacity),
+        functools.partial(
+            slam_sequence,
+            opts=opts,
+            capacity=capacity,
+            arena_sharding=arena_s,
+        ),
         in_shardings=in_shardings,
     )
     return fn(rgb_seq, depth_seq, intrinsics, poses_seq)

@@ -561,7 +561,9 @@ _slam_init_state_jit = jax.jit(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "capacity"))
+@functools.partial(
+    jax.jit, static_argnames=("opts", "capacity", "arena_sharding")
+)
 def slam_sequence(
     rgb_seq: jnp.ndarray,
     depth_seq: jnp.ndarray,
@@ -570,6 +572,7 @@ def slam_sequence(
     opts: SLAMOptions,
     capacity: int,
     labels_seq: Optional[jnp.ndarray] = None,
+    arena_sharding=None,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Runs SLAM over a full sequence with a single ``lax.scan``.
 
@@ -580,6 +583,12 @@ def slam_sequence(
         capacity: map arena capacity.
         labels_seq: optional (B, L, H, W) semantic labels — fused into the
             arena's semantic channels (``MapState.labels``).
+        arena_sharding: optional ``NamedSharding`` (static) pinning the
+            (B, CAP, 12) arena layout — e.g. ``P('data', 'map')`` to
+            partition the map over the mesh's model axis. Applied to the
+            scan carry every step so GSPMD keeps the arena partitioned
+            through fusion/association instead of replicating it
+            (parallel/sharded.py::sharded_slam sets this).
 
     Returns:
         (map_state, recovered_poses (B, L, 4, 4)).
@@ -595,6 +604,19 @@ def slam_sequence(
         rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity, pose0,
         labels=None if labels_seq is None else labels_seq[:, 0],
     )
+
+    def _pin_arena(st):
+        if arena_sharding is None:
+            return st
+        return st._replace(
+            map_state=st.map_state._replace(
+                data=jax.lax.with_sharding_constraint(
+                    st.map_state.data, arena_sharding
+                )
+            )
+        )
+
+    state = _pin_arena(state)
 
     if L == 1:
         return state.map_state, state.pose[:, None]
@@ -623,7 +645,7 @@ def slam_sequence(
             gt_pose if opts.odom == "gt" else None,
             labels=labels,
         )
-        return new, new.pose
+        return _pin_arena(new), new.pose
 
     state, poses_rest = jax.lax.scan(scan_body, state, xs)
     poses = jnp.concatenate(

@@ -39,6 +39,22 @@ class TestShardedSLAM:
         np.testing.assert_array_equal(
             np.asarray(m_sh.num_points), np.asarray(m_ref.num_points)
         )
+        # the arena must actually be PARTITIONED over the mesh — batch
+        # over 'data' AND capacity over 'map' (not silently replicated)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        want = NamedSharding(mesh, P("data", "map"))
+        assert m_sh.data.sharding.is_equivalent_to(want, m_sh.data.ndim), (
+            m_sh.data.sharding
+        )
+        # per-device shard is 1/8th of the arena
+        shard_shapes = {
+            s.data.shape for s in m_sh.data.addressable_shards
+        }
+        assert shard_shapes == {(B // 4, cap // 2, m_sh.data.shape[-1])}
+        np.testing.assert_allclose(
+            np.asarray(m_sh.data), np.asarray(m_ref.data), atol=1e-4
+        )
 
     def test_train_step_runs_on_mesh(self, batch8):
         if len(jax.devices()) < 8:
