@@ -32,7 +32,9 @@ from ..parallel.pose_refine import PoseGraph, pose_graph_refine
 
 __all__ = [
     "LoopCandidates",
+    "keyframe_descriptors",
     "detect_loop_closures",
+    "detect_loop_closures_descriptor",
     "verify_loop_closures",
     "close_loops",
     "close_loops_rgbd",
@@ -103,6 +105,88 @@ def detect_loop_closures(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("grid",))
+def keyframe_descriptors(
+    depth: jnp.ndarray,
+    normals: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid: Tuple[int, int] = (6, 8),
+) -> jnp.ndarray:
+    """Pose-independent per-keyframe appearance/geometry descriptor.
+
+    Pose-proximity detection (:func:`detect_loop_closures`) fails exactly
+    when drift is large — the regime loop closure exists for. This
+    descriptor is computed purely from the CAMERA-frame depth and normal
+    maps, so it is untouched by pose drift: a coarse ``grid`` of
+    (masked mean depth, masked mean normal, valid-coverage fraction) per
+    cell. Similar views produce similar descriptors regardless of where
+    the estimator currently believes the camera is.
+
+    Args:
+        depth: (L, H, W) metric depth; normals: (L, H, W, 3) camera-frame
+            unit normals; valid: (L, H, W) bool.
+        grid: (gh, gw) descriptor resolution.
+
+    Returns:
+        (L, gh*gw*5) float descriptors.
+    """
+    L, H, W = depth.shape
+    gh, gw = grid
+    Hc, Wc = (H // gh) * gh, (W // gw) * gw
+    cell = (Hc // gh) * (Wc // gw)
+
+    d = depth[:, :Hc, :Wc].reshape(L, gh, Hc // gh, gw, Wc // gw)
+    v = valid[:, :Hc, :Wc].reshape(L, gh, Hc // gh, gw, Wc // gw)
+    n = normals[:, :Hc, :Wc].reshape(L, gh, Hc // gh, gw, Wc // gw, 3)
+    vf = v.astype(depth.dtype)
+    cnt = vf.sum((2, 4))  # (L, gh, gw)
+    denom = jnp.maximum(cnt, 1.0)
+    mean_d = (d * vf).sum((2, 4)) / denom
+    mean_n = (n * vf[..., None]).sum((2, 4)) / denom[..., None]
+    frac = cnt / cell
+    return jnp.concatenate(
+        [
+            mean_d.reshape(L, -1),
+            mean_n.reshape(L, -1),
+            frac.reshape(L, -1),
+        ],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def detect_loop_closures_descriptor(
+    descriptors: jnp.ndarray,
+    max_candidates: int = 8,
+    min_separation: int = 5,
+    max_descriptor_dist: float = 0.25,
+) -> LoopCandidates:
+    """Drift-robust detection: dense (L, L) descriptor similarity.
+
+    Candidates are keyframe pairs whose :func:`keyframe_descriptors` RMS
+    difference is below ``max_descriptor_dist`` — purely appearance/
+    geometry-based, immune to pose drift (complements
+    :func:`detect_loop_closures`, which trusts the drifted poses). The
+    ``max_candidates`` most similar pairs are selected with ``top_k``.
+
+    Returns:
+        LoopCandidates with (K, 2) index pairs, i < j.
+    """
+    L, D = descriptors.shape
+    diff = descriptors[:, None] - descriptors[None, :]
+    rms = jnp.sqrt(jnp.mean(diff**2, axis=-1))  # (L, L)
+    sep = jnp.arange(L)[None, :] - jnp.arange(L)[:, None]  # j - i
+    ok = (sep >= min_separation) & (rms < max_descriptor_dist)
+    score = jnp.where(ok, -rms, -jnp.inf).reshape(-1)
+    k = min(max_candidates, L * L)
+    top, flat_idx = jax.lax.top_k(score, k)
+    i = (flat_idx // L).astype(jnp.int32)
+    j = (flat_idx % L).astype(jnp.int32)
+    return LoopCandidates(
+        edges=jnp.stack([i, j], axis=-1), valid=jnp.isfinite(top)
+    )
+
+
 def verify_loop_closures(
     candidates: LoopCandidates,
     poses: jnp.ndarray,
@@ -113,33 +197,47 @@ def verify_loop_closures(
     dist_thresh: Optional[float] = None,
     inlier_dist: float = 0.05,
     min_inlier_frac: float = 0.5,
+    init: str = "poses",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refines each candidate's relative pose with ICP and scores it.
 
     All K candidates solve in ONE batched gradICP call: source = frame j's
-    points brought into frame i via the current (drifted) estimate as
-    initialization, target = frame i's points. A candidate is accepted
-    when at least ``min_inlier_frac`` of valid source points land within
-    ``inlier_dist`` of their nearest target after alignment.
+    points brought into frame i via the initialization, target = frame
+    i's points. A candidate is accepted when at least ``min_inlier_frac``
+    of valid source points land within ``inlier_dist`` of their nearest
+    target after alignment.
 
     Args:
         poses: (L, 4, 4) current pose estimates.
         frame_points / frame_normals: (L, N, 3) per-keyframe CAMERA-frame
             point/normal sets (e.g. strided vertex-map subsamples).
         frame_valid: (L, N) bool.
+        init: ICP initialization — ``'poses'`` seeds with the current
+            (possibly drifted) relative estimate; ``'identity'`` seeds
+            with I (for appearance-detected candidates, whose pose
+            estimates are by construction untrustworthy and whose true
+            relative transform is near-identity for a genuine revisit).
 
     Returns:
         (measurements (K, 4, 4), weights (K,)): relative transforms
         ``Z_ij ~ T_i^-1 T_j`` and acceptance weights (0 for rejected or
         invalid candidates) — ready for :class:`PoseGraph` edges.
     """
+    if init not in ("poses", "identity"):
+        raise ValueError(f"init must be 'poses' or 'identity', got {init!r}")
     i = candidates.edges[:, 0]
     j = candidates.edges[:, 1]
+    K = i.shape[0]
 
-    # initial relative pose from the current trajectory
-    Z0 = jax.vmap(
-        lambda Ti, Tj: jnp.matmul(inverse_transformation(Ti), Tj)
-    )(poses[i], poses[j])  # (K, 4, 4)
+    if init == "poses":
+        # initial relative pose from the current trajectory
+        Z0 = jax.vmap(
+            lambda Ti, Tj: jnp.matmul(inverse_transformation(Ti), Tj)
+        )(poses[i], poses[j])  # (K, 4, 4)
+    else:
+        Z0 = jnp.broadcast_to(
+            jnp.eye(4, dtype=poses.dtype), (K, 4, 4)
+        )
 
     src = frame_points[j]  # (K, N, 3) camera frame of j
     src_valid = frame_valid[j]
@@ -188,6 +286,9 @@ def close_loops(
     refine_iters: int = 10,
     odometry_weight: float = 1.0,
     loop_weight: float = 1.0,
+    detection: str = "pose",
+    descriptors: Optional[jnp.ndarray] = None,
+    max_descriptor_dist: float = 0.25,
 ) -> Tuple[jnp.ndarray, LoopCandidates, jnp.ndarray]:
     """Detect, verify, and correct: the full loop-closure pipeline.
 
@@ -202,28 +303,80 @@ def close_loops(
             batch).
         frame_points / frame_normals / frame_valid: per-keyframe
             camera-frame point sets, (L, N, 3) / (L, N, 3) / (L, N).
+        detection: candidate source — ``'pose'`` (proximity of the
+            current estimates; fails under large drift), ``'appearance'``
+            (:func:`detect_loop_closures_descriptor` on pose-independent
+            ``descriptors``; drift-robust), or ``'both'`` (union; each
+            set ICP-verified with its matching initialization).
+        descriptors: (L, D) :func:`keyframe_descriptors` output, required
+            for ``detection in ('appearance', 'both')``.
 
     Returns:
-        (refined_poses (L, 4, 4), candidates, loop_weights (K,)).
+        (refined_poses (L, 4, 4), candidates, loop_weights (K,)) —
+        K = ``max_candidates`` per active detector.
     """
+    if detection not in ("pose", "appearance", "both"):
+        raise ValueError(
+            f"detection must be 'pose', 'appearance' or 'both', got "
+            f"{detection!r}"
+        )
+    if detection in ("appearance", "both") and descriptors is None:
+        raise ValueError(
+            f"detection={detection!r} requires descriptors "
+            "(keyframe_descriptors output)"
+        )
     L = poses.shape[0]
-    cand = detect_loop_closures(
-        poses,
-        max_candidates=max_candidates,
-        min_separation=min_separation,
-        max_distance=max_distance,
-        max_angle=max_angle,
+
+    cand_sets = []
+    if detection in ("pose", "both"):
+        cand_sets.append(
+            (
+                detect_loop_closures(
+                    poses,
+                    max_candidates=max_candidates,
+                    min_separation=min_separation,
+                    max_distance=max_distance,
+                    max_angle=max_angle,
+                ),
+                "poses",
+            )
+        )
+    if detection in ("appearance", "both"):
+        cand_sets.append(
+            (
+                detect_loop_closures_descriptor(
+                    descriptors,
+                    max_candidates=max_candidates,
+                    min_separation=min_separation,
+                    max_descriptor_dist=max_descriptor_dist,
+                ),
+                "identity",
+            )
+        )
+
+    Z_parts, w_parts, edge_parts, valid_parts = [], [], [], []
+    for cand_i, init in cand_sets:
+        Z_i, w_i = verify_loop_closures(
+            cand_i,
+            poses,
+            frame_points,
+            frame_normals,
+            frame_valid,
+            numiters=icp_numiters,
+            inlier_dist=inlier_dist,
+            min_inlier_frac=min_inlier_frac,
+            init=init,
+        )
+        Z_parts.append(Z_i)
+        w_parts.append(w_i)
+        edge_parts.append(cand_i.edges)
+        valid_parts.append(cand_i.valid)
+    cand = LoopCandidates(
+        edges=jnp.concatenate(edge_parts, axis=0),
+        valid=jnp.concatenate(valid_parts, axis=0),
     )
-    Z_loop, w_loop = verify_loop_closures(
-        cand,
-        poses,
-        frame_points,
-        frame_normals,
-        frame_valid,
-        numiters=icp_numiters,
-        inlier_dist=inlier_dist,
-        min_inlier_frac=min_inlier_frac,
-    )
+    Z_loop = jnp.concatenate(Z_parts, axis=0)
+    w_loop = jnp.concatenate(w_parts, axis=0)
 
     # odometry edges from the input trajectory
     edges_odo = jnp.stack(
@@ -292,10 +445,25 @@ def close_loops_rgbd(
     nrm = nm[sl].reshape(B, L, -1, 3)
     val = valid[sl].reshape(B, L, -1)
 
+    # pose-independent appearance descriptors for drift-robust detection
+    descs = None
+    if kwargs.get("detection", "pose") in ("appearance", "both"):
+        valid2 = valid[..., 0]  # (B, L, H, W)
+        descs = [
+            keyframe_descriptors(
+                depth_seq[b, ..., 0], nm[b], valid2[b]
+            )
+            for b in range(B)
+        ]
+
     # host-level loop over the (small) batch: keeps the batched-ICP
     # verification and the Pallas KNN at their native rank
     refined = [
-        close_loops(poses[b], pts[b], nrm[b], val[b], **kwargs)[0]
+        close_loops(
+            poses[b], pts[b], nrm[b], val[b],
+            **({} if descs is None else {"descriptors": descs[b]}),
+            **kwargs,
+        )[0]
         for b in range(B)
     ]
     return jnp.stack(refined)

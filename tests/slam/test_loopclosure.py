@@ -181,3 +181,138 @@ class TestRGBDWrapper:
         )
         assert terr.max() < 0.02
         assert np.isfinite(np.asarray(refined)).all()
+
+
+class TestAppearanceDetection:
+    """Drift so large that pose-proximity detection fails; the
+    pose-independent descriptor stage still finds the revisit."""
+
+    @staticmethod
+    def _make_drifted_loop(L=9, n_pts=256, H=48, W=64, seed=2):
+        rng = np.random.RandomState(seed)
+        world = rng.uniform(-1.0, 1.0, (n_pts, 3)).astype(np.float32)
+        world[:, 2] += 4.0
+        normals = rng.randn(n_pts, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+        true_poses, frames, frame_normals, depth_imgs = [], [], [], []
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, H, dtype=np.float32),
+            np.linspace(0, 1, W, dtype=np.float32),
+            indexing="ij",
+        )
+        for k in range(L):
+            ang = 2 * np.pi * k / (L - 1)  # frame L-1 revisits frame 0
+            t = 0.15 * np.array([np.cos(ang) - 1.0, np.sin(ang), 0.0])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = t
+            true_poses.append(T)
+            Tinv = np.linalg.inv(T)
+            frames.append(world @ Tinv[:3, :3].T + Tinv[:3, 3])
+            frame_normals.append(normals @ Tinv[:3, :3].T)
+            # view-dependent synthetic depth image, periodic in ang:
+            # frames 0 and L-1 see the identical image, intermediate
+            # frames see different ones
+            depth_imgs.append(
+                2.0
+                + 0.6 * np.sin(5 * xx + ang) * np.cos(4 * yy + ang)
+                + 0.3 * np.sin(2 * yy + 2 * ang)
+            )
+        true_poses = np.stack(true_poses)
+        depth_imgs = np.stack(depth_imgs).astype(np.float32)
+
+        # LARGE accumulated drift: deterministic per-step translation bias
+        # — the estimated end pose is ~0.6 m from the start, far past any
+        # reasonable pose-proximity gate
+        drifted = [true_poses[0]]
+        for k in range(1, L):
+            inc = np.linalg.inv(true_poses[k - 1]) @ true_poses[k]
+            bias = np.eye(4, dtype=np.float32)
+            bias[:3, 3] = [-0.12, 0.06, 0.0]
+            drifted.append(drifted[-1] @ (bias @ inc))
+        drifted = np.stack(drifted).astype(np.float32)
+
+        return (
+            jnp.asarray(true_poses),
+            jnp.asarray(drifted),
+            jnp.asarray(np.stack(frames)),
+            jnp.asarray(np.stack(frame_normals)),
+            jnp.ones((L, n_pts), bool),
+            jnp.asarray(depth_imgs),
+        )
+
+    def _descriptors(self, depth_imgs):
+        from gradslam_tpu.slam import keyframe_descriptors
+        from gradslam_tpu.structures.rgbdimages import (
+            compute_normal_map,
+            compute_vertex_map,
+        )
+
+        L, H, W = depth_imgs.shape
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 0.8 * W
+        K[0, 2], K[1, 2] = W / 2.0, H / 2.0
+        dep5 = depth_imgs[:, None, ..., None]  # (L, 1, H, W, 1)
+        Kb = jnp.asarray(np.broadcast_to(K, (L, 1, 4, 4)).copy())
+        vm = compute_vertex_map(dep5, Kb)
+        valid = dep5 > 0
+        nm = compute_normal_map(vm, valid)[:, 0]
+        return keyframe_descriptors(
+            depth_imgs, nm, depth_imgs > 0
+        )
+
+    def test_pose_proximity_fails_under_drift(self):
+        _, drifted, *_ = self._make_drifted_loop()
+        cand = detect_loop_closures(
+            drifted, max_candidates=4, min_separation=5, max_distance=0.3
+        )
+        assert not bool(cand.valid.any()), (
+            "drift too small: pose proximity still detects the loop"
+        )
+
+    def test_descriptor_detects_the_revisit(self):
+        from gradslam_tpu.slam import detect_loop_closures_descriptor
+
+        *_, depth_imgs = self._make_drifted_loop()
+        descs = self._descriptors(depth_imgs)
+        cand = detect_loop_closures_descriptor(
+            descs, max_candidates=4, min_separation=5,
+            max_descriptor_dist=0.1,
+        )
+        got = np.asarray(cand.edges)[np.asarray(cand.valid)]
+        assert any((i == 0 and j == 8) for i, j in got), got
+
+    def test_close_loops_appearance_fixes_what_pose_cannot(self):
+        tp, drifted, pts, nrm, valid, depth_imgs = self._make_drifted_loop()
+        err_before = _pose_err(drifted, tp)
+        assert err_before > 0.3
+
+        # pose-proximity detection: finds nothing, trajectory unchanged
+        ref_pose, _, w_pose = close_loops(
+            drifted, pts, nrm, valid,
+            max_candidates=4, min_separation=5, max_distance=0.3,
+            detection="pose",
+        )
+        assert not bool((w_pose > 0).any())
+        assert _pose_err(ref_pose, drifted) < 1e-4
+
+        # appearance detection: finds + verifies (identity init), fixes
+        descs = self._descriptors(depth_imgs)
+        refined, cand, w = close_loops(
+            drifted, pts, nrm, valid,
+            max_candidates=4, min_separation=5, max_distance=0.3,
+            detection="appearance", descriptors=descs,
+            max_descriptor_dist=0.1,
+        )
+        assert bool((w > 0).any()), "no appearance loop edges accepted"
+        err_after = _pose_err(refined, tp)
+        assert err_after < 0.5 * err_before, (
+            f"drift not reduced: {err_before:.4f} -> {err_after:.4f}"
+        )
+
+    def test_option_validation(self):
+        tp, drifted, pts, nrm, valid, _ = self._make_drifted_loop()
+        with pytest.raises(ValueError, match="requires descriptors"):
+            close_loops(drifted, pts, nrm, valid, detection="appearance")
+        with pytest.raises(ValueError, match="detection must be"):
+            close_loops(drifted, pts, nrm, valid, detection="nope")
