@@ -1,0 +1,232 @@
+"""In-loop arena lifecycle: watermark-triggered compaction for sequences
+that outgrow the fixed-capacity map arena.
+
+The reference's map grows without bound (ragged appends,
+gradslam/slam/fusionutils.py:702-721); this repo's static-shape arena
+(structures/maparena.py) instead DROPS appends past capacity — silently,
+if nothing manages the arena. This module closes that gap: a host-level
+segmented driver runs the usual fused ``lax.scan`` in chunks and, between
+chunks, reclaims arena slots when a capacity watermark is crossed
+(voxel-merging near-duplicates or evicting low-confidence points — the
+fixed-capacity analogue of PointFusion's unstable-point removal, Keller
+et al. 2013 §4.3).
+
+Why host-level segmenting instead of a ``lax.cond`` inside the scan: cond
+branches that return the arena copy it at every cond boundary (~0.8 ms
+each at ScanNet scale) and force whole-arena relayouts — measured, see
+docs/PERFORMANCE.md. A host sync of one scalar per segment is orders of
+magnitude cheaper.
+
+Compaction PERMUTES arena slots, so the SLAM state's cached slot
+references (odometry candidate set, projective model image) are rebuilt
+afterwards by re-projecting the compacted arena at the current pose
+(:func:`refresh_slam_state`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import inverse_transformation, transform_pointcloud
+from ..ops.masking import compact_masked
+from ..structures.maparena import MapState, compact_map, voxel_compact_map
+from .fusionutils import project_map_to_frame
+from .icpslam import SLAMOptions, SLAMState, slam_init_state, slam_step_state
+
+__all__ = [
+    "refresh_slam_state",
+    "compact_slam_state",
+    "slam_sequence_managed",
+]
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "H", "W"))
+def refresh_slam_state(
+    state: SLAMState, intrinsics: jnp.ndarray, opts: SLAMOptions, H: int, W: int
+) -> SLAMState:
+    """Rebuilds the slot-referencing caches of a :class:`SLAMState` after
+    the arena was permuted (compaction/eviction).
+
+    - ``cand_slots`` / ``cand_valid``: all arena points visible at the
+      current pose (fresh full-arena projection + compaction).
+    - ``model_img``: per-pixel nearest (min camera-z) visible point — the
+      occlusion-correct association target for ``assoc='projective'``.
+    - ``app_start``: set to ``num_points`` (no fresh appends yet).
+    """
+    m = state.map_state
+    B = m.data.shape[0]
+    CAP = m.capacity
+    HW = H * W
+
+    h, w, active = project_map_to_frame(m, state.pose, intrinsics, H, W)
+    A = opts.active_capacity or 2 * H * W
+    slots, valid = compact_masked(active, A)
+
+    tinv = inverse_transformation(state.pose)
+    z = transform_pointcloud(m.points, tinv)[..., 2]  # (B, CAP)
+    pix = jnp.where(active, h * W + w, HW)
+    idx = jnp.broadcast_to(jnp.arange(CAP, dtype=jnp.int32)[None], (B, CAP))
+
+    def per_batch(pix_b, z_b, act_b, idx_b):
+        segz = jax.ops.segment_min(
+            jnp.where(act_b, z_b, jnp.inf), pix_b, num_segments=HW + 1
+        )
+        cand = act_b & (z_b == segz[pix_b])
+        segi = jax.ops.segment_min(
+            jnp.where(cand, idx_b, CAP), pix_b, num_segments=HW + 1
+        )
+        return segi[:HW]
+
+    model_img = jax.vmap(per_batch)(pix, z, active, idx)
+    return state._replace(
+        cand_slots=slots,
+        cand_valid=valid,
+        app_start=m.num_points,
+        model_img=model_img.astype(jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "opts", "H", "W", "policy", "voxel_size", "min_ccount", "keep_recent",
+    ),
+)
+def compact_slam_state(
+    state: SLAMState,
+    intrinsics: jnp.ndarray,
+    opts: SLAMOptions,
+    H: int,
+    W: int,
+    policy: str = "voxel",
+    voxel_size: float = 0.02,
+    min_ccount: float = 1.0,
+    keep_recent: int = 0,
+) -> SLAMState:
+    """Reclaims arena slots and refreshes the state caches.
+
+    policy='voxel': near-duplicate points (same ``voxel_size`` cell)
+    collapse into one confidence-weighted point — no observations
+    discarded. policy='evict': drop points with ccount < ``min_ccount``
+    (except the ``keep_recent`` newest) — Keller §4.3 unstable-point
+    removal.
+    """
+    if policy == "voxel":
+        m = voxel_compact_map(state.map_state, voxel_size)
+    elif policy == "evict":
+        m = compact_map(
+            state.map_state, min_ccount=min_ccount, keep_recent=keep_recent
+        )
+    else:
+        raise ValueError(f"policy must be 'voxel' or 'evict', got {policy!r}")
+    return refresh_slam_state(
+        state._replace(map_state=m), intrinsics, opts, H, W
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "has_poses"))
+def _scan_segment(
+    state: SLAMState,
+    rgb_seq: jnp.ndarray,
+    depth_seq: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    poses_seq: jnp.ndarray,
+    opts: SLAMOptions,
+    has_poses: bool,
+) -> Tuple[SLAMState, jnp.ndarray]:
+    """Continues the SLAM scan from ``state`` over a frame chunk."""
+    xs = (
+        jnp.swapaxes(rgb_seq, 0, 1),
+        jnp.swapaxes(depth_seq, 0, 1),
+        jnp.swapaxes(poses_seq, 0, 1),
+    )
+
+    def body(carry, x):
+        rgb, depth, gt_pose = x
+        new = slam_step_state(
+            carry, rgb, depth, intrinsics, opts,
+            gt_pose if (opts.odom == "gt" and has_poses) else None,
+        )
+        return new, new.pose
+
+    state, poses = jax.lax.scan(body, state, xs)
+    return state, jnp.swapaxes(poses, 0, 1)
+
+
+def slam_sequence_managed(
+    rgb_seq: jnp.ndarray,
+    depth_seq: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    poses_seq: Optional[jnp.ndarray],
+    opts: SLAMOptions,
+    capacity: int,
+    watermark: float = 0.9,
+    segment_len: int = 8,
+    policy: str = "voxel",
+    voxel_size: float = 0.02,
+    min_ccount: float = 1.0,
+    keep_recent: int = 0,
+) -> Tuple[MapState, jnp.ndarray]:
+    """:func:`slam_sequence` with in-loop arena lifecycle management.
+
+    Runs the fused scan in host-level segments of ``segment_len`` frames;
+    after each segment, if any batch item's live count exceeds
+    ``watermark * capacity``, the arena is compacted (``policy``) and the
+    state caches refreshed — so a long run degrades gracefully (bounded
+    density/confidence loss) instead of silently dropping every append
+    past capacity.
+
+    One scalar host sync per segment; no ``lax.cond`` ever touches the
+    arena (see module docstring).
+
+    Returns:
+        (map_state, recovered_poses (B, L, 4, 4)).
+    """
+    if not 0.0 < watermark <= 1.0:
+        raise ValueError(f"watermark must be in (0, 1], got {watermark}")
+    if segment_len < 1:
+        raise ValueError(f"segment_len must be >= 1, got {segment_len}")
+    if not opts.fusion and opts.odom_targets == "recent" and opts.odom != "gt":
+        raise ValueError(
+            "odom_targets='recent' depends on append recency, which "
+            "compaction destroys — use odom_targets='map' (or fusion) "
+            "with the managed lifecycle"
+        )
+    B, L, H, W, _ = rgb_seq.shape
+    dtype = rgb_seq.dtype
+    if opts.odom == "gt" and poses_seq is None:
+        raise ValueError("gt odometry requires poses")
+    has_poses = poses_seq is not None
+    if not has_poses:
+        poses_seq = jnp.zeros((B, L, 4, 4), dtype)
+
+    state = slam_init_state(
+        rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity,
+        poses_seq[:, 0] if has_poses else None,
+    )
+    poses_out = [state.pose[:, None]]
+    t = 1
+    while t < L:
+        if float(jnp.max(state.map_state.num_points)) > watermark * capacity:
+            state = compact_slam_state(
+                state, intrinsics, opts, H, W,
+                policy=policy, voxel_size=voxel_size,
+                min_ccount=min_ccount, keep_recent=keep_recent,
+            )
+        end = min(t + segment_len, L)
+        state, seg_poses = _scan_segment(
+            state,
+            rgb_seq[:, t:end],
+            depth_seq[:, t:end],
+            intrinsics,
+            poses_seq[:, t:end],
+            opts,
+            has_poses,
+        )
+        poses_out.append(seg_poses)
+        t = end
+    return state.map_state, jnp.concatenate(poses_out, axis=1)
