@@ -283,10 +283,7 @@ def _merge_a_into_b(a: CfgNode, b: CfgNode, root: CfgNode, key_list):
         if k in b:
             v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
             if isinstance(v, CfgNode):
-                try:
-                    _merge_a_into_b(v, b[k], root, key_list + [str(k)])
-                except BaseException:
-                    raise
+                _merge_a_into_b(v, b[k], root, key_list + [str(k)])
             else:
                 b[k] = v
         elif b.is_new_allowed():

@@ -717,6 +717,26 @@ class ICPSLAM:
                 "not a working set — use odom_targets='recent' to bound "
                 "odometry cost instead"
             )
+        if (
+            kwargs.get("assoc_window", 0) > 0
+            and kwargs.get("block_size") is not None
+        ):
+            raise ValueError(
+                "assoc_window and block_size are mutually exclusive "
+                "working-set bounds: block gating replaces the prefix "
+                "window in fusion (the window would silently not apply "
+                "there) — pick one"
+            )
+        if (
+            kwargs.get("assoc_window", 0) > 0
+            and kwargs.get("merge_window", -1) > 0
+        ):
+            raise ValueError(
+                "an explicit merge_window has no effect with assoc_window "
+                "active: the prefix-window writeback replaces the "
+                "windowed winner scatter entirely — drop merge_window "
+                "(or set it to -1/0)"
+            )
         self.odom = odom
         self._jit_step = None
         self._jit_state_step = None

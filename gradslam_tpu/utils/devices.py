@@ -24,10 +24,26 @@ _FLAG = "xla_force_host_platform_device_count"
 
 def backend_initialized() -> bool:
     """True once any JAX backend client has been created (after which
-    platform/flag changes no longer take effect)."""
+    platform/flag changes no longer take effect).
+
+    Peeks at ``jax._src.xla_bridge._backends`` — a private cache (there
+    is no public "is the backend up yet" API precisely because querying
+    it would initialize it). Guarded: if a JAX upgrade renames the
+    attribute, raise loudly instead of silently returning False and
+    letting the caller mutate XLA_FLAGS ineffectively.
+    """
     from jax._src import xla_bridge as _xb
 
-    return bool(getattr(_xb, "_backends", None))
+    if not hasattr(_xb, "_backends"):
+        import jax
+
+        raise RuntimeError(
+            "jax._src.xla_bridge._backends not found (JAX "
+            f"{jax.__version__} renamed the private backend cache); "
+            "update gradslam_tpu.utils.devices.backend_initialized for "
+            "this JAX version"
+        )
+    return bool(_xb._backends)
 
 
 def force_virtual_cpu_devices(n: int) -> None:

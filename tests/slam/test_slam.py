@@ -199,6 +199,21 @@ class TestAssocWindowOdometry:
         with pytest.raises(ValueError, match="assoc_window"):
             ICPSLAM(odom="gradicp", assoc_window=4096)
 
+    def test_rejects_assoc_window_with_block_size(self):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            PointFusion(
+                odom="gradicp", assoc_window=4096, block_size=1024
+            )
+
+    def test_rejects_explicit_merge_window_with_assoc_window(self):
+        with pytest.raises(ValueError, match="merge_window"):
+            PointFusion(
+                odom="gradicp", assoc_window=4096, merge_window=8192
+            )
+        # auto (-1) and off (0) remain fine
+        PointFusion(odom="gradicp", assoc_window=4096, merge_window=-1)
+        PointFusion(odom="gradicp", assoc_window=4096, merge_window=0)
+
     def test_aggregate_options_ignore_window(self, msrd_data):
         """SLAMOptions users can still hand-build fusion=False +
         assoc_window (ICPSLAM rejects it); the odometry window must then
