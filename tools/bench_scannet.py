@@ -1,0 +1,113 @@
+"""ScanNet-operating-point benchmark (240x320, L=16, CAP = L*H*W ~ 1.2M).
+
+Frames come from the golden msrd clip, nearest-upsampled 2x to 240x320 and
+cycled to L=16 — same content statistics, ScanNet-example geometry
+(reference examples/pointfusion_scannet.py: 320x240).
+
+Usage:
+    python tools/bench_scannet.py [--assoc projective|knn] [--window N]
+        [--reps 5] [--trace DIR] [--capacity N] [--scatter|--merge-window N]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+B, L = 2, 16
+NUMITERS = 20
+DSRATIO = 4
+
+
+def load_sequence(H=240, W=320):
+    d = ROOT / "tests" / "data" / "msrd_b2s3"
+    colors = np.load(d / "colors.npy")  # (2, 3, 120, 160, 3)
+    depths = np.load(d / "depths.npy")
+    idx = [i % colors.shape[1] for i in range(L)]
+    colors = colors[:, idx].repeat(2, axis=2).repeat(2, axis=3)
+    depths = depths[:, idx].repeat(2, axis=2).repeat(2, axis=3)
+    K = np.load(d / "intrinsics.npy").copy()
+    K[:, :, :2] *= 2.0  # fx, fy, cx, cy scale with the upsample
+    return (
+        colors.astype(np.float32),
+        depths.astype(np.float32),
+        K.astype(np.float32),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assoc", default="projective")
+    ap.add_argument("--window", type=int, default=-1,
+                    help="assoc_window (-1 auto = 4*H*W, 0 off)")
+    ap.add_argument("--merge-window", type=int, default=-1)
+    ap.add_argument("--capacity", type=int, default=0, help="0 = L*H*W")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--trace", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
+
+    colors, depths, K = load_sequence()
+    H, W = colors.shape[2], colors.shape[3]
+    window = 4 * H * W if args.window < 0 else args.window
+    capacity = args.capacity or L * H * W
+    opts = SLAMOptions(
+        odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True,
+        assoc=args.assoc, assoc_window=window,
+        merge_window=args.merge_window,
+    )
+    rgb, dep, Kj = jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(K)
+
+    def _run(r, d, k):
+        m, poses = slam_sequence(r, d, k, None, opts, capacity)
+        overflow = (
+            jnp.max(m.num_points) > window if window else jnp.array(False)
+        )
+        return poses.sum() + m.points.sum(), overflow, jnp.max(m.num_points)
+
+    fn = jax.jit(_run)
+    chk, overflow, maxnp = fn(rgb, dep, Kj)
+    print(f"max num_points: {int(maxnp)} (window {window}, cap {capacity})")
+    assert not bool(overflow), "map outgrew assoc_window"
+
+    prev = None
+    for _ in range(8):
+        t = time.perf_counter()
+        float(fn(rgb, dep, Kj)[0])
+        dt_w = time.perf_counter() - t
+        if prev is not None and dt_w > 0.7 * prev:
+            break
+        prev = dt_w
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        float(fn(rgb, dep, Kj)[0])
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}")
+
+    t0 = time.perf_counter()
+    outs = [fn(rgb, dep, Kj)[0] for _ in range(args.reps)]
+    acc = outs[0]
+    for s in outs[1:]:
+        acc = acc + s
+    float(acc)
+    dt = (time.perf_counter() - t0) / args.reps
+    fps = (B * L) / dt
+    print(
+        f"scannet point ({H}x{W}, L={L}, B={B}, cap={capacity}, "
+        f"assoc={args.assoc}, window={window}): {fps:.1f} frames/s/chip "
+        f"({dt * 1e3 / L:.2f} ms/frame-batch)"
+    )
+
+
+if __name__ == "__main__":
+    main()
