@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--capacity", type=int, default=0, help="0 = L*H*W")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--trace", default="")
+    ap.add_argument("--managed", action="store_true",
+                    help="slam_sequence_managed: watermark voxel "
+                    "compaction bounds the live map, so the assoc window "
+                    "(and every active-set op) stays small")
+    ap.add_argument("--voxel", type=float, default=0.005)
+    ap.add_argument("--segment-len", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -67,14 +73,40 @@ def main():
     )
     rgb, dep, Kj = jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(K)
 
-    def _run(r, d, k):
-        m, poses = slam_sequence(r, d, k, None, opts, capacity)
-        overflow = (
-            jnp.max(m.num_points) > window if window else jnp.array(False)
-        )
-        return poses.sum() + m.points.sum(), overflow, jnp.max(m.num_points)
+    if args.managed:
+        from gradslam_tpu.slam.lifecycle import slam_sequence_managed
 
-    fn = jax.jit(_run)
+        # compact whenever the live map could outgrow the assoc window
+        # within the next segment (each frame appends at most H*W rows)
+        wm_rows = (window or capacity) - args.segment_len * H * W
+        wm = min(0.95, max(0.05, wm_rows / capacity))
+
+        def fn(r, d, k):
+            m, poses = slam_sequence_managed(
+                r, d, k, None, opts, capacity,
+                watermark=wm,
+                segment_len=args.segment_len,
+                policy="voxel", voxel_size=args.voxel,
+            )
+            overflow = (
+                jnp.max(m.num_points) > window if window
+                else jnp.array(False)
+            )
+            return (
+                poses.sum() + m.points.sum(), overflow, jnp.max(m.num_points)
+            )
+    else:
+        def _run(r, d, k):
+            m, poses = slam_sequence(r, d, k, None, opts, capacity)
+            overflow = (
+                jnp.max(m.num_points) > window if window
+                else jnp.array(False)
+            )
+            return (
+                poses.sum() + m.points.sum(), overflow, jnp.max(m.num_points)
+            )
+
+        fn = jax.jit(_run)
     chk, overflow, maxnp = fn(rgb, dep, Kj)
     print(f"max num_points: {int(maxnp)} (window {window}, cap {capacity})")
     assert not bool(overflow), "map outgrew assoc_window"
