@@ -17,8 +17,14 @@ instead of O(S*T) KNN) — same task, accuracy pinned to the KNN path by
 tests/slam/test_slam.py::TestProjectiveAssociation (sub-2mm trajectory
 error on the golden clip for both).
 
+Measurement protocol: k independent timed batches; the value is the
+MEDIAN batch, batches contaminated by backend stalls (>1.5x the fastest)
+are discarded and re-run. Per-batch numbers ship in the JSON so the
+artifact is auditable.
+
 Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N,
+   "batch_fps": [...], "discarded_batches": N, "cpu_baseline_fps": N}
 """
 
 import json
@@ -35,7 +41,17 @@ BASELINE_CACHE = ROOT / ".bench_baseline.json"
 B, L = 2, 10
 NUMITERS = 20
 DSRATIO = 4
-REPS = 10
+# Measurement = NBATCH independent timed batches of REPS_PER_BATCH reps
+# each; the reported value is the MEDIAN batch. A batch slower than
+# STALL_FACTOR x the fastest batch is treated as contaminated (remote
+# backend stall / re-compile / tunnel hiccup) and re-run, up to
+# MAX_BATCHES total. Rationale: a single long timed loop lets one
+# mid-measurement backend stall poison the whole artifact (observed:
+# driver captured 374 fps on a commit that steadily measures ~476).
+REPS_PER_BATCH = 5
+NBATCH = 5
+MAX_BATCHES = 12
+STALL_FACTOR = 1.5
 
 
 def load_sequence():
@@ -49,7 +65,7 @@ def load_sequence():
     return colors.astype(np.float32), depths.astype(np.float32), K.astype(np.float32)
 
 
-def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
+def run_pipeline(assoc="projective", assoc_window=True):
     import jax
     import jax.numpy as jnp
 
@@ -106,22 +122,39 @@ def run_pipeline(reps=REPS, assoc="projective", assoc_window=True):
             break
         prev = dt_w
 
-    # Throughput measurement: dispatch every rep asynchronously and fetch
-    # ONE scalar at the end. Fetching per rep would serialize a host<->device
-    # round-trip (a ~25 ms tunnel RTT on remote backends) into every rep and
-    # measure dispatch latency, not device throughput (CLAUDE.md: microbench
-    # pitfall). Reduce AFTER the dispatch loop: even an async scalar add
-    # interleaved between dispatches costs ~20 ms/rep on remote backends.
-    # The final fetch depends on all reps, so the wall time still covers
-    # every frame processed.
-    t0 = time.perf_counter()
-    outs = [fn(rgb, dep, Kj)[0] for _ in range(reps)]
-    acc = outs[0]
-    for s in outs[1:]:
-        acc = acc + s
-    float(acc)
-    dt = (time.perf_counter() - t0) / reps
-    return (B * L) / dt  # frames per second
+    # Throughput measurement: dispatch every rep of a batch asynchronously
+    # and fetch ONE scalar at the end of the batch. Fetching per rep would
+    # serialize a host<->device round-trip (a ~25 ms tunnel RTT on remote
+    # backends) into every rep and measure dispatch latency, not device
+    # throughput (CLAUDE.md: microbench pitfall). Reduce AFTER the dispatch
+    # loop: even an async scalar add interleaved between dispatches costs
+    # ~20 ms/rep on remote backends. The final fetch depends on all reps,
+    # so the wall time still covers every frame processed.
+    def timed_batch():
+        t0 = time.perf_counter()
+        outs = [fn(rgb, dep, Kj)[0] for _ in range(REPS_PER_BATCH)]
+        acc = outs[0]
+        for s in outs[1:]:
+            acc = acc + s
+        float(acc)
+        return (time.perf_counter() - t0) / REPS_PER_BATCH
+
+    # k independent batches; a batch >STALL_FACTOR x the fastest so far is
+    # contaminated (backend stall / recompile) — drop it and run another,
+    # bounded by MAX_BATCHES total attempts.
+    clean, all_times = [], []
+    while len(clean) < NBATCH and len(all_times) < MAX_BATCHES:
+        dt = timed_batch()
+        all_times.append(dt)
+        fastest = min(all_times)
+        clean = [t for t in all_times if t <= STALL_FACTOR * fastest]
+    batch_fps = sorted((B * L) / t for t in clean)
+    discarded = len(all_times) - len(clean)
+    return {
+        "fps": float(np.median(batch_fps)),
+        "batch_fps": [round(f, 1) for f in batch_fps],
+        "discarded_batches": discarded,
+    }
 
 
 def measure_cpu_baseline():
@@ -164,7 +197,8 @@ def measure_cpu_baseline():
 
 
 def main():
-    fps = run_pipeline()
+    res = run_pipeline()
+    fps = res["fps"]
     cpu_fps = measure_cpu_baseline()
     vs = fps / cpu_fps if cpu_fps else float("nan")
     print(
@@ -174,6 +208,9 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(vs, 3) if vs == vs else None,
+                "batch_fps": res["batch_fps"],
+                "discarded_batches": res["discarded_batches"],
+                "cpu_baseline_fps": cpu_fps,
             }
         )
     )
