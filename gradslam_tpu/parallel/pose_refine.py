@@ -274,28 +274,93 @@ def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
     within each landmark segment: pair (n, n') contributes
     ``V_n W_n'^T`` at pose block (pose_n, pose_n'). Pairs at offset d are
     matched by shifting the sorted arrays — O(N * k_max) work and O(N)
-    memory, never a dense (M, L) cross table.
+    memory, never a dense (M, L) cross table. The offset loop is a
+    ``lax.fori_loop`` (graph size O(1) in k_max — an earlier Python
+    unroll put ~2*k_max scatter-adds in the traced graph and blew up
+    compile time at k_max ~ 10^2).
 
-    ``k_max``: static upper bound on observations per landmark.
+    ``k_max``: static upper bound on observations per landmark. If the
+    true max exceeds it, coupling pairs are silently dropped and the GN
+    step is wrong — validated at the public entry points on concrete
+    inputs (see :func:`ba_refine`).
     """
     N = obs_pose.shape[0]
+    idx = jnp.arange(N)
     # d = 0: every observation pairs with itself
     A0 = jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH)  # (N, 6, 6)
     S = jnp.zeros((L, 6, L, 6), dtype=V.dtype)
     S = S.at[obs_pose, :, obs_pose, :].add(A0)
-    for d in range(1, min(k_max, N)):
-        same = (obs_lm[:-d] == obs_lm[d:]).astype(V.dtype)[:, None, None]
+
+    def body(d, S):
+        # pair (n, n+d), matched by rolling the sorted arrays; rows whose
+        # partner wrapped past the end are masked off.
+        lm_s = jnp.roll(obs_lm, -d, axis=0)
+        pose_s = jnp.roll(obs_pose, -d, axis=0)
+        W_s = jnp.roll(W_obs, -d, axis=0)
+        valid = ((idx + d < N) & (obs_lm == lm_s)).astype(V.dtype)
         A = (
-            jnp.einsum("nac,nbc->nab", V[:-d], W_obs[d:], precision=_HIGH)
-            * same
+            jnp.einsum("nac,nbc->nab", V, W_s, precision=_HIGH)
+            * valid[:, None, None]
         )
-        S = S.at[obs_pose[:-d], :, obs_pose[d:], :].add(A)
+        S = S.at[obs_pose, :, pose_s, :].add(A)
         # (n+d, n) block = transpose of (n, n+d): V_m W_n^T = (V_n W_m^T)^T
         # because Hll^-1 is symmetric.
-        S = S.at[obs_pose[d:], :, obs_pose[:-d], :].add(
-            jnp.swapaxes(A, -1, -2)
-        )
-    return S
+        S = S.at[pose_s, :, obs_pose, :].add(jnp.swapaxes(A, -1, -2))
+        return S
+
+    return jax.lax.fori_loop(1, min(k_max, N), body, S)
+
+
+def _coupling_matvec(x, obs_pose, obs_lm, W_obs, Hll_inv, M):
+    """(U Hll^-1 U^T) x without materializing the (L,6,L,6) coupling.
+
+    O(N) per application: gather x by pose, per-landmark segment-sum,
+    3x3 block solve, scatter back by pose.
+    """
+    L = x.shape[0]
+    t = jnp.einsum("nab,na->nb", W_obs, x[obs_pose], precision=_HIGH)  # (N,3)
+    s = jnp.zeros((M, 3), dtype=x.dtype).at[obs_lm].add(t)
+    y = jnp.einsum("mab,mb->ma", Hll_inv, s, precision=_HIGH)  # (M, 3)
+    c = jnp.einsum("nab,nb->na", W_obs, y[obs_lm], precision=_HIGH)  # (N,6)
+    return jnp.zeros((L, 6), dtype=x.dtype).at[obs_pose].add(c)
+
+
+def _pcg_solve(matvec, rhs, Minv_blocks, iters):
+    """Preconditioned conjugate gradients on (L, 6) block vectors.
+
+    ``Minv_blocks`` (L, 6, 6): block-Jacobi preconditioner (inverted 6x6
+    diagonal blocks of the system). Fixed iteration count (static control
+    flow); with x0 = 0 the first iterate is the preconditioned gradient
+    step, so even iters=1 makes progress.
+    """
+
+    def dot(a, b):
+        return jnp.sum(a * b, dtype=a.dtype)
+
+    def precond(v):
+        return jnp.einsum("lab,lb->la", Minv_blocks, v, precision=_HIGH)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        pAp = dot(p, Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    state = (x0, r0, z0, p0, dot(r0, z0))
+    x, *_ = jax.lax.fori_loop(0, iters, body, state)
+    return x
 
 
 def _ba_iteration(
@@ -309,6 +374,8 @@ def _ba_iteration(
     damping,
     anchor_weight,
     axis=None,
+    solver="dense",
+    cg_iters=64,
 ):
     """One Schur-complement GN iteration (obs sorted by landmark).
 
@@ -317,6 +384,17 @@ def _ba_iteration(
     per-shard partial sums psum-reduced over ``axis``; H_ll / bl /
     back-substitution stay shard-local because every landmark's
     observations are entirely on its owner shard.
+
+    ``solver``:
+      - ``'dense'``: materialize the reduced camera system (L,6,L,6) via
+        pair expansion and solve with ``jnp.linalg.solve`` — exact, O(L^2)
+        memory, O(L^3) solve; right at L up to a few hundred.
+      - ``'pcg'``: matrix-free preconditioned CG on the Schur complement.
+        S x is applied as Hcc x - U Hll^-1 U^T x in O(N) per CG step —
+        no (L,6,L,6) tensor, no pair expansion, no k_max dependence.
+        Block-Jacobi (6x6 pose-diagonal of S) preconditioner. Sharded:
+        the per-shard partial matvec is psum-reduced, so CG runs
+        replicated with one (L,6) psum per iteration.
     """
     L = poses.shape[0]
     M = landmarks.shape[0]
@@ -349,30 +427,61 @@ def _ba_iteration(
 
     V = jnp.einsum("nab,nbc->nac", W_obs, Hll_inv[obs_lm], precision=_HIGH)
 
-    S = _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max)
     # rhs coupling: rhs_p -= sum_{n: pose p} V_n bl[lm_n]
     coup = jnp.zeros((L, 6), dtype=poses.dtype)
     coup = coup.at[obs_pose].add(
         jnp.einsum("nab,nb->na", V, bl[obs_lm], precision=_HIGH)
     )
 
-    Hcc_full = Hcc
-    if axis is not None:
-        Hcc_full = jax.lax.psum(Hcc, axis)
-        S = jax.lax.psum(S, axis)
-        bc = jax.lax.psum(bc, axis)
-        coup = jax.lax.psum(coup, axis)
+    eye6 = jnp.eye(6, dtype=poses.dtype)
+    anchor = jnp.zeros((L, 1, 1), poses.dtype).at[0].set(1.0) * (
+        anchor_weight * eye6
+    )  # (L, 6, 6): anchor_weight * I on pose 0 only
 
-    Sfull = -S
-    Sfull = Sfull.at[jnp.arange(L), :, jnp.arange(L), :].add(Hcc_full)
-    rhs = bc - coup
+    if solver == "dense":
+        S = _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max)
+        Hcc_full = Hcc
+        if axis is not None:
+            Hcc_full = jax.lax.psum(Hcc, axis)
+            S = jax.lax.psum(S, axis)
+            bc = jax.lax.psum(bc, axis)
+            coup = jax.lax.psum(coup, axis)
+        Sfull = -S
+        Sfull = Sfull.at[jnp.arange(L), :, jnp.arange(L), :].add(
+            Hcc_full + anchor
+        )
+        rhs = bc - coup
+        Sm = Sfull.reshape(L * 6, L * 6) + jnp.eye(
+            L * 6, dtype=poses.dtype
+        ) * damping
+        delta_c = jnp.linalg.solve(Sm, -rhs.reshape(L * 6)).reshape(L, 6)
+    else:  # pcg — matrix-free reduced camera system
+        # 6x6 pose-diagonal of S (self-pair d=0 terms only) for the
+        # block-Jacobi preconditioner.
+        diag_self = jnp.zeros((L, 6, 6), dtype=poses.dtype)
+        diag_self = diag_self.at[obs_pose].add(
+            jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH)
+        )
+        diag_S = Hcc - diag_self
+        if axis is not None:
+            diag_S = jax.lax.psum(diag_S, axis)
+            bc = jax.lax.psum(bc, axis)
+            coup = jax.lax.psum(coup, axis)
+        diag_S = diag_S + anchor + damping * eye6
+        Minv = jnp.linalg.inv(diag_S)
+        rhs = bc - coup
 
-    # gauge anchor + damping, solve reduced camera system (replicated)
-    Sfull = Sfull.at[0, :, 0, :].add(
-        jnp.eye(6, dtype=poses.dtype) * anchor_weight
-    )
-    Sm = Sfull.reshape(L * 6, L * 6) + jnp.eye(L * 6, dtype=poses.dtype) * damping
-    delta_c = jnp.linalg.solve(Sm, -rhs.reshape(L * 6)).reshape(L, 6)
+        def matvec(x):
+            hx = jnp.einsum("lbc,lc->lb", Hcc, x, precision=_HIGH)
+            cx = _coupling_matvec(x, obs_pose, obs_lm, W_obs, Hll_inv, M)
+            part = hx - cx
+            if axis is not None:
+                part = jax.lax.psum(part, axis)
+            # replicated terms added once, after the partial-sum reduce
+            ax = jnp.einsum("lbc,lc->lb", anchor, x, precision=_HIGH)
+            return part + ax + damping * x
+
+        delta_c = _pcg_solve(matvec, -rhs, Minv, cg_iters)
 
     # back-substitute landmarks: delta_l = -Hll^-1 (bl + W^T delta_c).
     # Shard-local; non-owned landmarks get exactly 0 (bl and Wt_dc zero),
@@ -389,38 +498,25 @@ def _ba_iteration(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_iters", "max_obs_per_landmark")
+    jax.jit,
+    static_argnames=(
+        "num_iters", "max_obs_per_landmark", "solver", "cg_iters"
+    ),
 )
-def ba_refine(
-    poses: jnp.ndarray,
-    landmarks: jnp.ndarray,
-    obs_pose: jnp.ndarray,
-    obs_lm: jnp.ndarray,
-    obs_pts: jnp.ndarray,
-    weights: Optional[jnp.ndarray] = None,
-    num_iters: int = 5,
-    damping: float = 1e-4,
-    anchor_weight: float = 1e6,
-    max_obs_per_landmark: Optional[int] = None,
+def _ba_refine_impl(
+    poses,
+    landmarks,
+    obs_pose,
+    obs_lm,
+    obs_pts,
+    weights,
+    num_iters,
+    damping,
+    anchor_weight,
+    max_obs_per_landmark,
+    solver,
+    cg_iters,
 ):
-    """Point-landmark bundle adjustment with Schur-complement elimination.
-
-    The landmark block H_ll is 3x3 block-diagonal and eliminated
-    analytically; only the reduced (6L, 6L) camera system is solved. The
-    pose-pose coupling is accumulated from observation pairs within each
-    landmark's segment (observations are sorted by landmark internally) —
-    memory O(N + L^2 + M), compute O(N * max_obs_per_landmark).
-
-    Args:
-        poses: (L, 4, 4); landmarks: (M, 3).
-        obs_pose / obs_lm: (N,) int32 indices; obs_pts: (N, 3).
-        weights: optional (N,) observation weights.
-        max_obs_per_landmark: static bound on observations of one
-            landmark (defaults to L — tighten it for large L).
-
-    Returns:
-        (refined_poses (L, 4, 4), refined_landmarks (M, 3)).
-    """
     L = poses.shape[0]
     N = obs_pts.shape[0]
     if weights is None:
@@ -446,9 +542,100 @@ def ba_refine(
             k_max,
             damping,
             anchor_weight,
+            solver=solver,
+            cg_iters=cg_iters,
         )
 
     return jax.lax.fori_loop(0, num_iters, body, (poses, landmarks))
+
+
+def _validate_k_max(obs_lm, max_obs_per_landmark, solver):
+    """Rejects a too-small dense-path pair bound on CONCRETE indices.
+
+    ``max_obs_per_landmark`` is a silent-correctness parameter for the
+    dense solver: if any landmark has more observations than the bound,
+    :func:`_schur_coupling` drops coupling pairs and the GN step is
+    wrong with no error. When the indices are concrete (not traced),
+    check the true max and raise. Traced inputs (calls from inside an
+    outer jit) skip the check — the bound is then the caller's contract.
+    The 'pcg' solver has no pair expansion and ignores the bound.
+    """
+    if solver != "dense" or max_obs_per_landmark is None:
+        return
+    if isinstance(obs_lm, jax.core.Tracer):
+        return
+    import numpy as np
+
+    counts = np.bincount(np.asarray(obs_lm))
+    true_max = int(counts.max()) if counts.size else 0
+    if true_max > max_obs_per_landmark:
+        raise ValueError(
+            f"max_obs_per_landmark={max_obs_per_landmark} but a landmark "
+            f"has {true_max} observations: the dense Schur coupling would "
+            f"silently drop pairs and produce a wrong Gauss-Newton step. "
+            f"Pass max_obs_per_landmark>={true_max} or solver='pcg' "
+            f"(no pair bound)."
+        )
+
+
+def ba_refine(
+    poses: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    obs_pose: jnp.ndarray,
+    obs_lm: jnp.ndarray,
+    obs_pts: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    num_iters: int = 5,
+    damping: float = 1e-4,
+    anchor_weight: float = 1e6,
+    max_obs_per_landmark: Optional[int] = None,
+    solver: str = "dense",
+    cg_iters: int = 64,
+):
+    """Point-landmark bundle adjustment with Schur-complement elimination.
+
+    The landmark block H_ll is 3x3 block-diagonal and eliminated
+    analytically; only the reduced camera system is solved — either
+    materialized dense (``solver='dense'``: O(L^2) memory, exact
+    ``linalg.solve``; right for L up to a few hundred) or matrix-free
+    (``solver='pcg'``: block-Jacobi preconditioned CG, O(N + L + M)
+    memory per iteration, no pair expansion — scales to thousands of
+    poses). The dense pose-pose coupling is accumulated from observation
+    pairs within each landmark's segment (observations are sorted by
+    landmark internally) — memory O(N + L^2 + M), compute
+    O(N * max_obs_per_landmark).
+
+    Args:
+        poses: (L, 4, 4); landmarks: (M, 3).
+        obs_pose / obs_lm: (N,) int32 indices; obs_pts: (N, 3).
+        weights: optional (N,) observation weights.
+        max_obs_per_landmark: static bound on observations of one
+            landmark (defaults to L — tighten it for large L). Dense
+            solver only; a bound below the true max silently drops
+            coupling pairs, so concrete inputs are validated against it.
+        solver: 'dense' or 'pcg'.
+        cg_iters: CG iterations per GN step (pcg only).
+
+    Returns:
+        (refined_poses (L, 4, 4), refined_landmarks (M, 3)).
+    """
+    if solver not in ("dense", "pcg"):
+        raise ValueError(f"solver must be 'dense' or 'pcg', got {solver!r}")
+    _validate_k_max(obs_lm, max_obs_per_landmark, solver)
+    return _ba_refine_impl(
+        poses,
+        landmarks,
+        obs_pose,
+        obs_lm,
+        obs_pts,
+        weights,
+        num_iters,
+        damping,
+        anchor_weight,
+        max_obs_per_landmark,
+        solver,
+        cg_iters,
+    )
 
 
 def partition_observations_by_landmark(obs_pose, obs_lm, obs_pts, weights, n):
@@ -521,6 +708,8 @@ def ba_refine_sharded(
     num_iters: int = 5,
     damping: float = 1e-4,
     anchor_weight: float = 1e6,
+    solver: str = "dense",
+    cg_iters: int = 64,
 ):
     """Distributed Schur-complement BA (SURVEY §2.9 north-star deliverable).
 
@@ -528,15 +717,22 @@ def ba_refine_sharded(
     (:func:`partition_observations_by_landmark`): each landmark's
     observations are entirely on one shard, so its 3x3 H_ll block, its
     Schur coupling pairs, and its back-substitution are shard-local.
-    Cross-shard communication is exactly four psums per iteration — the
-    (L,6,6) H_cc blocks, the (L,6,L,6) coupling, the (L,6) gradient and
-    rhs coupling — plus one (M,3) psum of landmark deltas. Per-shard
-    memory is O(N/n + L^2 + M).
+    With ``solver='dense'``, cross-shard communication is exactly four
+    psums per iteration — the (L,6,6) H_cc blocks, the (L,6,L,6)
+    coupling, the (L,6) gradient and rhs coupling — plus one (M,3) psum
+    of landmark deltas; per-shard memory is O(N/n + L^2 + M). The pair
+    bound ``k_max`` is computed from the data here (the partitioner sees
+    concrete indices), so the dense path never drops pairs. With
+    ``solver='pcg'`` the (L,6,L,6) coupling never exists: each CG step
+    psums one (L,6) partial matvec — per-shard memory O(N/n + L + M),
+    scaling to thousands of poses.
 
     Returns (refined_poses (L, 4, 4), refined_landmarks (M, 3)).
     """
     from jax.experimental.shard_map import shard_map
 
+    if solver not in ("dense", "pcg"):
+        raise ValueError(f"solver must be 'dense' or 'pcg', got {solver!r}")
     n = mesh.shape[axis]
     N = obs_pts.shape[0]
     if weights is None:
@@ -558,7 +754,7 @@ def ba_refine_sharded(
             p, lm = state
             return _ba_iteration(
                 p, lm, op, ol, opts_, ow, k_max, damping, anchor_weight,
-                axis=axis,
+                axis=axis, solver=solver, cg_iters=cg_iters,
             )
 
         return jax.lax.fori_loop(0, num_iters, body, (poses, landmarks))
