@@ -2,11 +2,20 @@
 
 A camera orbits a scene and returns to its starting view; odometry noise
 is injected into every frame-to-frame increment, so the raw trajectory
-drifts. `close_loops` detects the revisit (pose proximity), verifies it
-with one batched gradICP solve, and corrects the whole trajectory with
-pose-graph Gauss-Newton.
+drifts. `close_loops` detects the revisit, verifies it with one batched
+gradICP solve, and corrects the whole trajectory with pose-graph
+Gauss-Newton.
 
-    python examples/loop_closure.py [--frames 17] [--drift 0.02]
+Detection modes (--detection):
+  pose        proximity of the (drifted) pose estimates — fails when
+              drift exceeds the gate
+  appearance  viewpoint-invariant geometry descriptors — drift-immune
+  both        union of the two, duplicate pairs deduplicated; pose
+              candidates seed ICP from the trajectory, appearance
+              candidates from a multi-start yaw sweep
+
+    python examples/loop_closure.py [--frames 17] [--drift 0.02] \
+        [--detection both]
 """
 
 import sys, pathlib
@@ -19,13 +28,16 @@ import numpy as np
 import jax.numpy as jnp
 
 from gradslam_tpu.geometry import se3_exp
-from gradslam_tpu.slam import close_loops
+from gradslam_tpu.slam import close_loops, keyframe_descriptors_invariant
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--frames", type=int, default=17)
 parser.add_argument("--points", type=int, default=512)
 parser.add_argument("--drift", type=float, default=0.02)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument(
+    "--detection", choices=("pose", "appearance", "both"), default="both"
+)
 args = parser.parse_args()
 
 rng = np.random.RandomState(args.seed)
@@ -56,14 +68,24 @@ for k in range(1, L):
     drifted.append(drifted[-1] @ (np.asarray(se3_exp(jnp.asarray(xi))) @ inc))
 drifted = np.stack(drifted).astype(np.float32)
 
+pts_j = jnp.asarray(np.stack(pts))
+nrms_j = jnp.asarray(np.stack(nrms))
+valid_j = jnp.ones((L, N), bool)
+
+descs = None
+if args.detection in ("appearance", "both"):
+    descs = keyframe_descriptors_invariant(pts_j, nrms_j, valid_j)
+
 refined, cand, w = close_loops(
     jnp.asarray(drifted),
-    jnp.asarray(np.stack(pts)),
-    jnp.asarray(np.stack(nrms)),
-    jnp.ones((L, N), bool),
+    pts_j,
+    nrms_j,
+    valid_j,
     max_candidates=8,
     min_separation=max(3, L // 3),
     max_distance=0.3,
+    detection=args.detection,
+    **({} if descs is None else {"descriptors": descs}),
 )
 
 err = lambda P: np.linalg.norm(

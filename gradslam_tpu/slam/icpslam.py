@@ -670,6 +670,12 @@ class ICPSLAM:
         robust_delta: optional Huber threshold on ICP residuals.
         map_capacity: override the arena capacity (default L*H*W).
         block_size / visible_capacity: spatial block gating for large maps.
+        loop_closure: None (off) or 'pose'/'appearance'/'both' — after the
+            sequence, detect + ICP-verify + pose-graph-correct loop
+            closures on the recovered trajectory
+            (:func:`~gradslam_tpu.slam.loopclosure.close_loops_rgbd`;
+            appearance uses the viewpoint-robust invariant descriptor).
+        loop_closure_kwargs: threshold overrides forwarded to it.
     """
 
     _fusion = False
@@ -684,11 +690,20 @@ class ICPSLAM:
         dist_thresh: Optional[float] = None,
         map_capacity: Optional[int] = None,
         tgt_capacity: Optional[int] = None,
+        loop_closure: Optional[str] = None,
+        loop_closure_kwargs: Optional[dict] = None,
         **kwargs,
     ):
         if odom not in ("gt", "icp", "gradicp"):
             raise ValueError(
                 f"odometry method {odom!r} not in ('gt', 'icp', 'gradicp')"
+            )
+        if loop_closure is not None and loop_closure not in (
+            "pose", "appearance", "both"
+        ):
+            raise ValueError(
+                "loop_closure must be None, 'pose', 'appearance' or "
+                f"'both', got {loop_closure!r}"
             )
         assoc = kwargs.get("assoc", "knn")
         if assoc not in ("knn", "projective"):
@@ -738,6 +753,8 @@ class ICPSLAM:
                 "(or set it to -1/0)"
             )
         self.odom = odom
+        self.loop_closure = loop_closure
+        self.loop_closure_kwargs = dict(loop_closure_kwargs or {})
         self._jit_step = None
         self._jit_state_step = None
         self.opts = SLAMOptions(
@@ -777,6 +794,17 @@ class ICPSLAM:
             self.opts,
             capacity,
         )
+        if self.loop_closure is not None:
+            from .loopclosure import close_loops_rgbd
+
+            poses = close_loops_rgbd(
+                rgbd.rgb_image,
+                rgbd.depth_image,
+                rgbd.intrinsics,
+                poses,
+                detection=self.loop_closure,
+                **self.loop_closure_kwargs,
+            )
         return map_to_pointclouds(map_state), poses
 
     def step(

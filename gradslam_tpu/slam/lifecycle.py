@@ -170,6 +170,8 @@ def slam_sequence_managed(
     voxel_size: float = 0.02,
     min_ccount: float = 1.0,
     keep_recent: int = 0,
+    loop_closure: Optional[str] = None,
+    loop_closure_kwargs: Optional[dict] = None,
 ) -> Tuple[MapState, jnp.ndarray]:
     """:func:`slam_sequence` with in-loop arena lifecycle management.
 
@@ -183,6 +185,22 @@ def slam_sequence_managed(
     One scalar host sync per segment; no ``lax.cond`` ever touches the
     arena (see module docstring).
 
+    With ``loop_closure`` set ('pose', 'appearance' or 'both'), loop
+    detection + verification + pose-graph correction
+    (:func:`~gradslam_tpu.slam.loopclosure.close_loops`) runs at every
+    segment boundary — where the host sync already exists — over the
+    trajectory so far. When a loop edge is accepted, the whole past
+    trajectory is refined AND the live tracking pose jumps to its
+    corrected value (the state caches are rebuilt at the new pose), so
+    drift is removed DURING the run instead of only in a post-hoc pass.
+    The already-fused map is not re-deformed (standard for point-based
+    fusion; re-observed geometry re-fuses at the corrected poses).
+    Appearance detection uses the viewpoint-robust
+    :func:`~gradslam_tpu.slam.loopclosure.keyframe_descriptors_invariant`.
+    ``loop_closure_kwargs`` forwards thresholds (``max_candidates``,
+    ``min_separation``, ``max_descriptor_dist``, ``min_inlier_frac``,
+    ``dsratio``...).
+
     Returns:
         (map_state, recovered_poses (B, L, 4, 4)).
     """
@@ -190,6 +208,13 @@ def slam_sequence_managed(
         raise ValueError(f"watermark must be in (0, 1], got {watermark}")
     if segment_len < 1:
         raise ValueError(f"segment_len must be >= 1, got {segment_len}")
+    if loop_closure is not None and loop_closure not in (
+        "pose", "appearance", "both"
+    ):
+        raise ValueError(
+            "loop_closure must be None, 'pose', 'appearance' or 'both', "
+            f"got {loop_closure!r}"
+        )
     if not opts.fusion and opts.odom_targets == "recent" and opts.odom != "gt":
         raise ValueError(
             "odom_targets='recent' depends on append recency, which "
@@ -203,6 +228,48 @@ def slam_sequence_managed(
     has_poses = poses_seq is not None
     if not has_poses:
         poses_seq = jnp.zeros((B, L, 4, 4), dtype)
+
+    lc_kwargs = dict(loop_closure_kwargs or {})
+    lc_dsratio = lc_kwargs.pop("dsratio", opts.dsratio or 4)
+    lc_clouds = None
+    if loop_closure is not None:
+        from .loopclosure import (
+            close_loops,
+            frame_clouds_from_rgbd,
+            keyframe_descriptors_invariant,
+        )
+
+        # camera-frame per-keyframe clouds for the WHOLE sequence,
+        # computed once (pose-independent — reusable at every boundary)
+        lc_pts, lc_nrm, lc_val, _, _ = frame_clouds_from_rgbd(
+            depth_seq, intrinsics, lc_dsratio
+        )
+        lc_clouds = (lc_pts, lc_nrm, lc_val)
+
+    def _close_loops_so_far(poses_btl):
+        """Runs close_loops per batch item over frames [0, t); returns
+        (refined poses, any_accepted)."""
+        lc_pts, lc_nrm, lc_val = lc_clouds
+        t_now = poses_btl.shape[1]
+        refined, hit = [], False
+        for b in range(B):
+            descs = None
+            if loop_closure in ("appearance", "both"):
+                descs = keyframe_descriptors_invariant(
+                    lc_pts[b, :t_now], lc_nrm[b, :t_now], lc_val[b, :t_now]
+                )
+            r, _, w = close_loops(
+                poses_btl[b],
+                lc_pts[b, :t_now],
+                lc_nrm[b, :t_now],
+                lc_val[b, :t_now],
+                detection=loop_closure,
+                **({} if descs is None else {"descriptors": descs}),
+                **lc_kwargs,
+            )
+            hit = hit or bool((w > 0).any())
+            refined.append(r)
+        return jnp.stack(refined), hit
 
     state = slam_init_state(
         rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity,
@@ -229,4 +296,23 @@ def slam_sequence_managed(
         )
         poses_out.append(seg_poses)
         t = end
-    return state.map_state, jnp.concatenate(poses_out, axis=1)
+        # in-loop closure at the segment boundary (skip the final
+        # boundary: the caller can close the full trajectory post-hoc,
+        # and there is no further tracking to correct)
+        if loop_closure is not None and t > 2 and t < L:
+            poses_btl = jnp.concatenate(poses_out, axis=1)
+            refined, hit = _close_loops_so_far(poses_btl)
+            if hit:
+                poses_out = [refined]
+                # jump the live tracking pose to its corrected value and
+                # rebuild the pose-dependent caches
+                state = refresh_slam_state(
+                    state._replace(pose=refined[:, -1]),
+                    intrinsics, opts, H, W,
+                )
+    poses_btl = jnp.concatenate(poses_out, axis=1)
+    if loop_closure is not None and L > 2:
+        refined, hit = _close_loops_so_far(poses_btl)
+        if hit:
+            poses_btl = refined
+    return state.map_state, poses_btl

@@ -32,7 +32,9 @@ from ..parallel.pose_refine import PoseGraph, pose_graph_refine
 
 __all__ = [
     "LoopCandidates",
+    "frame_clouds_from_rgbd",
     "keyframe_descriptors",
+    "keyframe_descriptors_invariant",
     "detect_loop_closures",
     "detect_loop_closures_descriptor",
     "verify_loop_closures",
@@ -122,6 +124,16 @@ def keyframe_descriptors(
     cell. Similar views produce similar descriptors regardless of where
     the estimator currently believes the camera is.
 
+    Depth cells are divided by the frame's median valid depth, so every
+    descriptor component is dimensionless and O(1) — one
+    ``max_descriptor_dist`` threshold behaves the same at desk scale and
+    warehouse scale (without this, the metric-depth term dominated the
+    RMS and the threshold was scene-scale-dependent).
+
+    NOTE: grid cells do not correspond under viewpoint change — this
+    descriptor is drift-robust but NOT rotation-robust. For revisits at
+    a different yaw use :func:`keyframe_descriptors_invariant`.
+
     Args:
         depth: (L, H, W) metric depth; normals: (L, H, W, 3) camera-frame
             unit normals; valid: (L, H, W) bool.
@@ -144,11 +156,132 @@ def keyframe_descriptors(
     mean_d = (d * vf).sum((2, 4)) / denom
     mean_n = (n * vf[..., None]).sum((2, 4)) / denom[..., None]
     frac = cnt / cell
+
+    # per-frame median valid depth (masked median via sort)
+    flat_d = depth.reshape(L, -1)
+    flat_v = valid.reshape(L, -1)
+    nvalid = flat_v.sum(-1)
+    sorted_d = jnp.sort(jnp.where(flat_v, flat_d, jnp.inf), axis=-1)
+    mid = jnp.maximum(nvalid - 1, 0) // 2
+    med = jnp.take_along_axis(sorted_d, mid[:, None], axis=-1)[:, 0]
+    med = jnp.where((nvalid > 0) & jnp.isfinite(med), med, 1.0)
+
     return jnp.concatenate(
         [
-            mean_d.reshape(L, -1),
+            (mean_d / med[:, None, None]).reshape(L, -1),
             mean_n.reshape(L, -1),
             frac.reshape(L, -1),
+        ],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_sample", "bins"))
+def keyframe_descriptors_invariant(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_sample: int = 128,
+    bins: int = 16,
+) -> jnp.ndarray:
+    """Viewpoint-robust per-keyframe descriptor from pairwise geometry.
+
+    :func:`keyframe_descriptors` is drift-robust but its grid cells stop
+    corresponding when the revisit happens at a different yaw or a
+    moderate translation. This descriptor is built ONLY from quantities
+    invariant under rigid camera motion of the visible point set —
+    pairwise point distances, pairwise normal angles, and
+    point-to-centroid distances — as normalized histograms (a coarse
+    point-feature-histogram in the spirit of Rusu et al.'s PFH/VFH).
+    Two views of the same scene region produce similar descriptors at
+    ANY relative orientation; what changes the descriptor is seeing
+    different geometry, which is exactly the discriminating signal.
+
+    Distances are normalized by the SEQUENCE-pooled mean pairwise
+    distance (not per-frame): the descriptor stays dimensionless (one
+    threshold works at desk scale and warehouse scale) while
+    frame-to-frame differences in absolute extent — often the strongest
+    place signal — are preserved. Per-frame normalization was tried and
+    rejected: it collapses every view of a roughly-isotropic scene onto
+    nearly the same histogram.
+
+    Args:
+        points: (L, N, 3) CAMERA-frame per-keyframe point sets (e.g. the
+            strided vertex-map subsamples used for verification).
+        normals: (L, N, 3) camera-frame unit normals.
+        valid: (L, N) bool.
+        n_sample: points subsampled per frame (pairwise cost is
+            O(n_sample^2) per keyframe).
+        bins: histogram resolution.
+
+    Returns:
+        (L, 4*bins) float descriptors (each histogram sums to 1):
+        pairwise distances, pairwise normal angles, normal-vs-chord
+        angles (the PFH "alpha" feature — surface-curvature layout), and
+        point-to-centroid distances.
+    """
+    dtype = points.dtype
+    eps = 1e-12
+
+    def features(p, n, v):
+        # deterministic spread subsample of the valid points: valid
+        # entries first (stable), then n_sample evenly spaced picks
+        order = jnp.argsort(jnp.where(v, 0, 1), stable=True)
+        cnt = v.sum()
+        pos = jnp.floor(
+            jnp.linspace(0.0, 1.0, n_sample) * jnp.maximum(cnt - 1, 0)
+        ).astype(jnp.int32)
+        sel = order[pos]
+        sv = (jnp.arange(n_sample) < cnt) & (cnt > 0)
+        p_s, n_s = p[sel], n[sel]
+
+        pair_v = (sv[:, None] & sv[None, :]) & ~jnp.eye(n_sample, dtype=bool)
+        wpair = pair_v.astype(dtype).reshape(-1)
+
+        diff = p_s[:, None] - p_s[None, :] + eps
+        D = jnp.linalg.norm(diff, axis=-1)
+        # PFH alpha: |cos| of the angle between a point's normal and the
+        # chord to its pair partner (sign-insensitive: normal
+        # orientation conventions differ between views)
+        alpha = jnp.abs(
+            jnp.einsum("ija,ia->ij", diff, n_s)
+        ) / jnp.maximum(D, eps)
+        ndot = jnp.clip(
+            jnp.einsum("ia,ja->ij", n_s, n_s), -1.0, 1.0
+        ).reshape(-1)
+
+        c = jnp.sum(p_s * sv[:, None], axis=0) / jnp.maximum(
+            cnt.astype(dtype), 1.0
+        )
+        dc = jnp.linalg.norm(p_s - c + eps, axis=-1)
+        wc = sv.astype(dtype)
+        return D.reshape(-1), alpha.reshape(-1), ndot, dc, wpair, wc
+
+    D, alpha, ndot, dc, wpair, wc = jax.vmap(features)(
+        points, normals, valid
+    )
+
+    # sequence-pooled distance scale
+    scale = jnp.sum(D * wpair) / jnp.maximum(jnp.sum(wpair), 1.0)
+    Dn = D / jnp.maximum(scale, eps)
+    scale_c = jnp.sum(dc * wc) / jnp.maximum(jnp.sum(wc), 1.0)
+    dcn = dc / jnp.maximum(scale_c, eps)
+
+    def hist(x, w, lo, hi):
+        ix = jnp.clip(
+            ((x - lo) / (hi - lo) * bins).astype(jnp.int32), 0, bins - 1
+        )
+        h = jax.vmap(
+            lambda ixb, wb: jnp.zeros((bins,), dtype).at[ixb].add(wb)
+        )(ix, w)
+        return h / jnp.maximum(h.sum(-1, keepdims=True), eps)
+
+    return jnp.concatenate(
+        [
+            hist(Dn, wpair, 0.0, 3.0),
+            hist(ndot, wpair, -1.0, 1.0),
+            hist(alpha, wpair, 0.0, 1.0),
+            hist(dcn, wc, 0.0, 3.0),
         ],
         axis=-1,
     )
@@ -198,6 +331,9 @@ def verify_loop_closures(
     inlier_dist: float = 0.05,
     min_inlier_frac: float = 0.5,
     init: str = "poses",
+    yaw_hypotheses: Tuple[float, ...] = (
+        0.0, 0.5236, -0.5236, 1.0472, -1.0472, 1.5708, -1.5708,
+    ),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refines each candidate's relative pose with ICP and scores it.
 
@@ -214,36 +350,70 @@ def verify_loop_closures(
         frame_valid: (L, N) bool.
         init: ICP initialization — ``'poses'`` seeds with the current
             (possibly drifted) relative estimate; ``'identity'`` seeds
-            with I (for appearance-detected candidates, whose pose
-            estimates are by construction untrustworthy and whose true
-            relative transform is near-identity for a genuine revisit).
+            with I (for appearance-detected candidates whose pose
+            estimates are untrustworthy and whose revisit is at roughly
+            the original orientation); ``'multistart'`` seeds every
+            candidate with each of ``yaw_hypotheses`` rotations about
+            the camera up axis (one batched solve of K * H problems) and
+            keeps the hypothesis with the best inlier fraction — for
+            viewpoint-changed revisits, where ICP from identity falls
+            into the wrong basin past ~20-30 degrees of yaw.
+        yaw_hypotheses: radians, ``init='multistart'`` only. Default
+            covers ±90° at 30° spacing.
 
     Returns:
         (measurements (K, 4, 4), weights (K,)): relative transforms
         ``Z_ij ~ T_i^-1 T_j`` and acceptance weights (0 for rejected or
         invalid candidates) — ready for :class:`PoseGraph` edges.
     """
-    if init not in ("poses", "identity"):
-        raise ValueError(f"init must be 'poses' or 'identity', got {init!r}")
+    if init not in ("poses", "identity", "multistart"):
+        raise ValueError(
+            f"init must be 'poses', 'identity' or 'multistart', got {init!r}"
+        )
+    if init == "multistart" and dist_thresh is None:
+        # a data-association gate is load-bearing for multistart: the
+        # candidate views overlap only partially, and ungated
+        # point-to-plane lets the non-overlapping points drag the solve
+        # off the true alignment (measured: Z error 0.79 ungated vs
+        # 0.006 gated at 3*inlier_dist on a 63%-overlap pair)
+        dist_thresh = 3.0 * inlier_dist
     i = candidates.edges[:, 0]
     j = candidates.edges[:, 1]
     K = i.shape[0]
+    dtype = poses.dtype
 
     if init == "poses":
         # initial relative pose from the current trajectory
         Z0 = jax.vmap(
             lambda Ti, Tj: jnp.matmul(inverse_transformation(Ti), Tj)
         )(poses[i], poses[j])  # (K, 4, 4)
-    else:
-        Z0 = jnp.broadcast_to(
-            jnp.eye(4, dtype=poses.dtype), (K, 4, 4)
-        )
+        nh = 1
+    elif init == "identity":
+        Z0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (K, 4, 4))
+        nh = 1
+    else:  # multistart: yaw rotations about the camera up (y) axis
+        ang = jnp.asarray(yaw_hypotheses, dtype)
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        nh = ang.shape[0]
+        Z0 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (nh, 4, 4))
+        Z0 = Z0.at[:, 0, 0].set(ca).at[:, 0, 2].set(sa)
+        Z0 = Z0.at[:, 2, 0].set(-sa).at[:, 2, 2].set(ca)
+        # (K, H, 4, 4) -> (K*H, 4, 4)
+        Z0 = jnp.broadcast_to(Z0[None], (K, nh, 4, 4)).reshape(-1, 4, 4)
 
-    src = frame_points[j]  # (K, N, 3) camera frame of j
-    src_valid = frame_valid[j]
-    tgt = frame_points[i]
-    tgt_n = frame_normals[i]
-    tgt_valid = frame_valid[i]
+    def expand(x):
+        """Tiles per-candidate data over the hypothesis axis."""
+        if nh == 1:
+            return x
+        return jnp.broadcast_to(
+            x[:, None], (K, nh) + x.shape[1:]
+        ).reshape((K * nh,) + x.shape[1:])
+
+    src = expand(frame_points[j])  # (K*H, N, 3) camera frame of j
+    src_valid = expand(frame_valid[j])
+    tgt = expand(frame_points[i])
+    tgt_n = expand(frame_normals[i])
+    tgt_valid = expand(frame_valid[i])
 
     # ICP aligns src (frame j points) onto tgt (frame i points); with the
     # camera-frame clouds the recovered transform IS Z_ij
@@ -256,7 +426,7 @@ def verify_loop_closures(
         dist_thresh=dist_thresh,
         src_valid=src_valid.astype(src.dtype),
         tgt_valid=tgt_valid,
-    )  # (K, 4, 4)
+    )  # (K*H, 4, 4)
 
     # inlier scoring after alignment: nearest-neighbor distances of the
     # aligned source points
@@ -266,9 +436,17 @@ def verify_loop_closures(
     sq_d, _ = knn(aligned, tgt, tgt_valid)
     inlier = (sq_d < inlier_dist**2) & src_valid & jnp.isfinite(sq_d)
     n_valid = jnp.maximum(jnp.sum(src_valid, axis=-1), 1)
-    frac = jnp.sum(inlier, axis=-1) / n_valid
+    frac = jnp.sum(inlier, axis=-1) / n_valid  # (K*H,)
+
+    if nh > 1:
+        # keep the best hypothesis per candidate
+        frac_kh = frac.reshape(K, nh)
+        best = jnp.argmax(frac_kh, axis=-1)
+        Z = Z.reshape(K, nh, 4, 4)[jnp.arange(K), best]
+        frac = frac_kh[jnp.arange(K), best]
+
     accept = (frac >= min_inlier_frac) & candidates.valid
-    return Z, accept.astype(src.dtype)
+    return Z, accept.astype(dtype)
 
 
 def close_loops(
@@ -289,6 +467,7 @@ def close_loops(
     detection: str = "pose",
     descriptors: Optional[jnp.ndarray] = None,
     max_descriptor_dist: float = 0.25,
+    appearance_init: str = "multistart",
 ) -> Tuple[jnp.ndarray, LoopCandidates, jnp.ndarray]:
     """Detect, verify, and correct: the full loop-closure pipeline.
 
@@ -307,9 +486,16 @@ def close_loops(
             current estimates; fails under large drift), ``'appearance'``
             (:func:`detect_loop_closures_descriptor` on pose-independent
             ``descriptors``; drift-robust), or ``'both'`` (union; each
-            set ICP-verified with its matching initialization).
-        descriptors: (L, D) :func:`keyframe_descriptors` output, required
-            for ``detection in ('appearance', 'both')``.
+            set ICP-verified with its matching initialization; pairs
+            found by both detectors enter the pose graph ONCE — the
+            duplicate's weight is zeroed so a double-detected closure is
+            not double-counted).
+        descriptors: (L, D) :func:`keyframe_descriptors` or
+            :func:`keyframe_descriptors_invariant` output, required for
+            ``detection in ('appearance', 'both')``.
+        appearance_init: ICP seed for appearance-detected candidates —
+            ``'multistart'`` (default: yaw-hypothesis sweep; handles
+            revisits at a rotated viewpoint) or ``'identity'``.
 
     Returns:
         (refined_poses (L, 4, 4), candidates, loop_weights (K,)) —
@@ -350,7 +536,7 @@ def close_loops(
                     min_separation=min_separation,
                     max_descriptor_dist=max_descriptor_dist,
                 ),
-                "identity",
+                appearance_init,
             )
         )
 
@@ -378,6 +564,22 @@ def close_loops(
     Z_loop = jnp.concatenate(Z_parts, axis=0)
     w_loop = jnp.concatenate(w_parts, axis=0)
 
+    if len(cand_sets) > 1:
+        # dedup across detectors: a pair found (and accepted) by both
+        # would enter the pose graph as two edges, doubling its weight
+        # relative to single-detector closures — zero the repeat (static
+        # shapes: mask, don't filter).
+        key = cand.edges[:, 0] * L + cand.edges[:, 1]
+        live = w_loop > 0
+        dup = (
+            (key[:, None] == key[None, :])
+            & live[:, None]
+            & live[None, :]
+            & (jnp.arange(key.shape[0])[:, None]
+               > jnp.arange(key.shape[0])[None, :])
+        ).any(axis=1)
+        w_loop = jnp.where(dup, 0.0, w_loop)
+
     # odometry edges from the input trajectory
     edges_odo = jnp.stack(
         [jnp.arange(L - 1), jnp.arange(1, L)], axis=-1
@@ -401,12 +603,41 @@ def close_loops(
     return refined, cand, w_loop
 
 
+def frame_clouds_from_rgbd(
+    depth_seq: jnp.ndarray, intrinsics: jnp.ndarray, dsratio: int = 4
+):
+    """Per-keyframe camera-frame clouds from an RGB-D sequence.
+
+    Returns (pts (B, L, S, 3), nrm (B, L, S, 3), val (B, L, S),
+    normal_map (B, L, H, W, 3), valid (B, L, H, W, 1)) — the strided
+    vertex/normal-map subsamples used by loop-closure detection and
+    verification, plus the full-resolution maps for grid descriptors.
+    """
+    from ..structures.rgbdimages import (
+        compute_normal_map,
+        compute_vertex_map,
+        valid_depth_mask,
+    )
+
+    B, L = depth_seq.shape[:2]
+    vm = compute_vertex_map(depth_seq, intrinsics)  # (B, L, H, W, 3)
+    valid = valid_depth_mask(depth_seq)
+    nm = compute_normal_map(vm, valid)
+    sl = (slice(None), slice(None), slice(None, None, dsratio),
+          slice(None, None, dsratio))
+    pts = vm[sl].reshape(B, L, -1, 3)
+    nrm = nm[sl].reshape(B, L, -1, 3)
+    val = valid[sl].reshape(B, L, -1)
+    return pts, nrm, val, nm, valid
+
+
 def close_loops_rgbd(
     rgb_seq: jnp.ndarray,
     depth_seq: jnp.ndarray,
     intrinsics: jnp.ndarray,
     poses: jnp.ndarray,
     dsratio: int = 4,
+    descriptor: str = "invariant",
     **kwargs,
 ) -> jnp.ndarray:
     """Loop-closes a SLAM trajectory directly from the RGB-D inputs.
@@ -423,38 +654,40 @@ def close_loops_rgbd(
         rgb_seq: (B, L, H, W, 3); depth_seq: (B, L, H, W, 1).
         intrinsics: (B, 1, 4, 4); poses: (B, L, 4, 4) recovered trajectory.
         dsratio: vertex-map subsampling stride.
+        descriptor: for appearance detection — ``'invariant'``
+            (:func:`keyframe_descriptors_invariant`, viewpoint-robust,
+            default) or ``'grid'`` (:func:`keyframe_descriptors`,
+            same-viewpoint revisits only).
         **kwargs: forwarded to :func:`close_loops` (detection thresholds,
             ICP iterations, weights).
 
     Returns:
         (B, L, 4, 4) refined trajectory.
     """
-    from ..structures.rgbdimages import (
-        compute_normal_map,
-        compute_vertex_map,
-        valid_depth_mask,
+    if descriptor not in ("invariant", "grid"):
+        raise ValueError(
+            f"descriptor must be 'invariant' or 'grid', got {descriptor!r}"
+        )
+    pts, nrm, val, nm, valid = frame_clouds_from_rgbd(
+        depth_seq, intrinsics, dsratio
     )
-
-    B, L, H, W, _ = rgb_seq.shape
-    vm = compute_vertex_map(depth_seq, intrinsics)  # (B, L, H, W, 3)
-    valid = valid_depth_mask(depth_seq)
-    nm = compute_normal_map(vm, valid)
-    sl = (slice(None), slice(None), slice(None, None, dsratio),
-          slice(None, None, dsratio))
-    pts = vm[sl].reshape(B, L, -1, 3)
-    nrm = nm[sl].reshape(B, L, -1, 3)
-    val = valid[sl].reshape(B, L, -1)
-
+    B = rgb_seq.shape[0]
     # pose-independent appearance descriptors for drift-robust detection
     descs = None
     if kwargs.get("detection", "pose") in ("appearance", "both"):
-        valid2 = valid[..., 0]  # (B, L, H, W)
-        descs = [
-            keyframe_descriptors(
-                depth_seq[b, ..., 0], nm[b], valid2[b]
-            )
-            for b in range(B)
-        ]
+        if descriptor == "invariant":
+            descs = [
+                keyframe_descriptors_invariant(pts[b], nrm[b], val[b])
+                for b in range(B)
+            ]
+        else:
+            valid2 = valid[..., 0]  # (B, L, H, W)
+            descs = [
+                keyframe_descriptors(
+                    depth_seq[b, ..., 0], nm[b], valid2[b]
+                )
+                for b in range(B)
+            ]
 
     # host-level loop over the (small) batch: keeps the batched-ICP
     # verification and the Pallas KNN at their native rank

@@ -316,3 +316,199 @@ class TestAppearanceDetection:
             close_loops(drifted, pts, nrm, valid, detection="appearance")
         with pytest.raises(ValueError, match="detection must be"):
             close_loops(drifted, pts, nrm, valid, detection="nope")
+
+
+class TestViewpointRobustDetection:
+    """Revisit at 35 deg yaw under large drift: pose-proximity detection
+    AND the grid appearance descriptor both fail; the viewpoint-invariant
+    descriptor + multistart ICP verification closes the loop."""
+
+    # the final frame revisits frame 0's view rotated 33 deg; every other
+    # frame is >=60 deg of yaw away from both (no easier revisit exists)
+    L = 5
+    YAWS_DEG = [0.0, 95.0, 190.0, 285.0, 33.0]
+    FOV_DEG = 90.0
+
+    @classmethod
+    def _make_yaw_loop(cls, n_pts=1024, seed=5):
+        """Camera at the origin inside a heterogeneous ring scene; each
+        frame sees a 90 deg azimuth window. The last frame revisits the
+        first VIEW but rotated 35 deg. Odometry drift accumulates a
+        ~0.5 m position error."""
+        rng = np.random.RandomState(seed)
+        theta = rng.uniform(-np.pi, np.pi, n_pts).astype(np.float32)
+        # heterogeneous ring room: six 60-deg wall sectors with DISTINCT
+        # smooth geometry (radius level, corrugation frequency/amplitude,
+        # wall height), plus a floor — different view windows are
+        # geometrically distinguishable (the property place recognition
+        # needs) while every surface is locally smooth with consistent
+        # normals (the property point-to-plane ICP needs)
+        sector = ((theta + np.pi) / (2 * np.pi / 6)).astype(int) % 6
+        r_base = np.array([2.0, 3.0, 1.3, 2.6, 1.6, 3.4], np.float32)
+        amp = np.array([0.02, 0.35, 0.1, 0.25, 0.02, 0.4], np.float32)
+        freq = np.array([3.0, 7.0, 11.0, 5.0, 9.0, 4.0], np.float32)
+        h_env = np.array([0.3, 1.0, 0.15, 0.7, 0.5, 1.2], np.float32)
+
+        a, f = amp[sector], freq[sector]
+        r = (r_base[sector] + a * np.sin(f * theta)).astype(np.float32)
+        rp = (a * f * np.cos(f * theta)).astype(np.float32)  # dr/dtheta
+        y = (h_env[sector] * rng.uniform(-1, 1, n_pts)).astype(np.float32)
+
+        n_floor = n_pts // 4  # floor disk: constrains y in point-to-plane
+        rho = np.sqrt(rng.uniform(0.05, 1.0, n_floor)).astype(np.float32)
+        rho = rho * (r_base[sector[:n_floor]] - 0.1)
+        world = np.stack([r * np.sin(theta), y, r * np.cos(theta)], -1)
+        world[:n_floor] = np.stack(
+            [
+                rho * np.sin(theta[:n_floor]),
+                -0.8 * np.ones(n_floor, np.float32),
+                rho * np.cos(theta[:n_floor]),
+            ],
+            -1,
+        )
+        # exact inward wall normals from the surface r(theta): the
+        # surface tangent along theta is d/dtheta (r sin, y, r cos)
+        st, ct = np.sin(theta), np.cos(theta)
+        n_wall = np.stack(
+            [rp * ct - r * st, np.zeros(n_pts, np.float32), -rp * st - r * ct],
+            -1,
+        )
+        n_wall /= np.linalg.norm(n_wall, axis=-1, keepdims=True)
+        # orient toward the origin
+        flip = (n_wall * world).sum(-1) > 0
+        n_wall[flip] *= -1
+        nrm_w = n_wall.astype(np.float32)
+        nrm_w[:n_floor] = [0.0, 1.0, 0.0]
+
+        yaws = np.deg2rad(cls.YAWS_DEG).astype(np.float32)
+        half_fov = np.deg2rad(cls.FOV_DEG) / 2
+
+        true_poses, pts, nrms, vals = [], [], [], []
+        for psi in yaws:
+            c, s = np.cos(psi), np.sin(psi)
+            R = np.array(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32
+            )  # camera-to-world yaw
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            true_poses.append(T)
+            p_cam = world @ R  # R^-1 = R^T applied to rows
+            n_cam = nrm_w @ R
+            az = np.arctan2(p_cam[:, 0], p_cam[:, 2])
+            vis = np.abs(az) < half_fov
+            pts.append(np.where(vis[:, None], p_cam, 0.0))
+            nrms.append(np.where(vis[:, None], n_cam, 0.0))
+            vals.append(vis)
+        true_poses = np.stack(true_poses)
+
+        # large accumulated drift (deterministic per-step bias)
+        drifted = [true_poses[0]]
+        for k in range(1, cls.L):
+            inc = np.linalg.inv(true_poses[k - 1]) @ true_poses[k]
+            bias = np.eye(4, dtype=np.float32)
+            # dominant vertical component: yaw rotation between steps
+            # cancels horizontal biases, the y component accumulates
+            bias[:3, 3] = [0.03, -0.08, 0.02]
+            drifted.append(drifted[-1] @ (bias @ inc))
+        drifted = np.stack(drifted).astype(np.float32)
+
+        return (
+            jnp.asarray(true_poses),
+            jnp.asarray(drifted),
+            jnp.asarray(np.stack(pts).astype(np.float32)),
+            jnp.asarray(np.stack(nrms).astype(np.float32)),
+            jnp.asarray(np.stack(vals)),
+        )
+
+    @classmethod
+    def _grid_descriptors(cls, H=48, W=64):
+        """Grid descriptors from synthetic per-frame depth panout images:
+        each frame's depth image is the same 360-periodic azimuth
+        function sampled over its own 90 deg yaw window — the same scene
+        seen from rotated viewpoints."""
+        from gradslam_tpu.slam import keyframe_descriptors
+        from gradslam_tpu.structures.rgbdimages import (
+            compute_normal_map,
+            compute_vertex_map,
+        )
+
+        u = np.linspace(-0.5, 0.5, W, dtype=np.float32)
+        v = np.linspace(0.0, 1.0, H, dtype=np.float32)[:, None]
+        fov = np.deg2rad(cls.FOV_DEG)
+        imgs = []
+        for psi_deg in cls.YAWS_DEG:
+            az = np.deg2rad(psi_deg) + u * fov
+            imgs.append(
+                2.0 + 0.8 * np.sin(3 * az) + 0.4 * np.cos(5 * az)
+                + 0.3 * np.sin(4 * v + az)
+            )
+        depth_imgs = jnp.asarray(np.stack(imgs).astype(np.float32))
+
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 0.8 * W
+        K[0, 2], K[1, 2] = W / 2.0, H / 2.0
+        dep5 = depth_imgs[:, None, ..., None]
+        Kb = jnp.asarray(np.broadcast_to(K, (cls.L, 1, 4, 4)).copy())
+        vm = compute_vertex_map(dep5, Kb)
+        nm = compute_normal_map(vm, dep5 > 0)[:, 0]
+        return keyframe_descriptors(depth_imgs, nm, depth_imgs > 0)
+
+    def test_pose_and_grid_both_fail(self):
+        from gradslam_tpu.slam import detect_loop_closures_descriptor
+
+        tp, drifted, *_ = self._make_yaw_loop()
+        cand = detect_loop_closures(
+            drifted, max_candidates=4, min_separation=2, max_distance=0.3
+        )
+        assert not bool(cand.valid.any()), "pose proximity unexpectedly found it"
+
+        gdesc = self._grid_descriptors()
+        gcand = detect_loop_closures_descriptor(
+            gdesc, max_candidates=4, min_separation=2,
+            max_descriptor_dist=0.25,
+        )
+        got = np.asarray(gcand.edges)[np.asarray(gcand.valid)]
+        assert not any(
+            (i == 0 and j == self.L - 1) for i, j in got
+        ), f"grid descriptor unexpectedly matched the rotated revisit: {got}"
+
+    def test_invariant_descriptor_finds_the_rotated_revisit(self):
+        from gradslam_tpu.slam import (
+            detect_loop_closures_descriptor,
+            keyframe_descriptors_invariant,
+        )
+
+        tp, drifted, pts, nrm, valid = self._make_yaw_loop()
+        desc = keyframe_descriptors_invariant(pts, nrm, valid)
+        cand = detect_loop_closures_descriptor(
+            desc, max_candidates=4, min_separation=2,
+            max_descriptor_dist=0.05,
+        )
+        got = np.asarray(cand.edges)[np.asarray(cand.valid)]
+        assert any((i == 0 and j == self.L - 1) for i, j in got), got
+
+    def test_close_loops_invariant_multistart_cuts_drift(self):
+        from gradslam_tpu.slam import keyframe_descriptors_invariant
+
+        tp, drifted, pts, nrm, valid = self._make_yaw_loop()
+        err_before = _pose_err(drifted, tp)
+        assert err_before > 0.3
+
+        desc = keyframe_descriptors_invariant(pts, nrm, valid)
+        refined, cand, w = close_loops(
+            drifted, pts, nrm, valid,
+            max_candidates=4, min_separation=2,
+            detection="appearance", descriptors=desc,
+            max_descriptor_dist=0.05, min_inlier_frac=0.45,
+        )
+        assert bool((w > 0).any()), "no loop edges accepted"
+        # the accepted measurement matches the true 35-deg-yaw relative
+        edges = np.asarray(cand.edges)
+        accepted = np.asarray(w) > 0
+        for k in np.nonzero(accepted)[0]:
+            i, j = edges[k]
+            assert i == 0 and j == self.L - 1, (i, j)
+        err_after = _pose_err(refined, tp)
+        assert err_after < 0.5 * err_before, (
+            f"drift not reduced: {err_before:.4f} -> {err_after:.4f}"
+        )
