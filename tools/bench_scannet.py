@@ -52,9 +52,17 @@ def main():
     ap.add_argument("--managed", action="store_true",
                     help="slam_sequence_managed: watermark voxel "
                     "compaction bounds the live map, so the assoc window "
-                    "(and every active-set op) stays small")
+                    "(and every active-set op) stays small AND capacity "
+                    "can shrink to a small multiple of the working set "
+                    "(--capacity) — per-capacity costs shrink with it")
     ap.add_argument("--voxel", type=float, default=0.005)
-    ap.add_argument("--segment-len", type=int, default=4)
+    ap.add_argument("--segment-len", type=int, default=8)
+    ap.add_argument("--watermark", type=float, default=0.0,
+                    help="compaction trigger as a fraction of CAPACITY; "
+                    "0 = auto (0.8 * window / capacity: compact when the "
+                    "live map nears the association window, NOT the "
+                    "worst-case per-segment append bound — that bound "
+                    "triggered every segment and cost 6x)")
     args = ap.parse_args()
 
     import jax
@@ -76,10 +84,12 @@ def main():
     if args.managed:
         from gradslam_tpu.slam.lifecycle import slam_sequence_managed
 
-        # compact whenever the live map could outgrow the assoc window
-        # within the next segment (each frame appends at most H*W rows)
-        wm_rows = (window or capacity) - args.segment_len * H * W
-        wm = min(0.95, max(0.05, wm_rows / capacity))
+        # compact when the live map nears the association window (voxel
+        # merge reclaims converged duplicates); the bench's overflow
+        # assert below still guards exactness if a burst outruns it
+        wm = args.watermark or min(
+            0.95, max(0.05, 0.8 * (window or capacity) / capacity)
+        )
 
         def fn(r, d, k):
             m, poses = slam_sequence_managed(
