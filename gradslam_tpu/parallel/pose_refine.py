@@ -325,13 +325,14 @@ def _coupling_matvec(x, obs_pose, obs_lm, W_obs, Hll_inv, M):
     return jnp.zeros((L, 6), dtype=x.dtype).at[obs_pose].add(c)
 
 
-def _pcg_solve(matvec, rhs, Minv_blocks, iters):
+def _pcg_iterations(matvec, rhs, Minv_blocks, iters):
     """Preconditioned conjugate gradients on (L, 6) block vectors.
 
     ``Minv_blocks`` (L, 6, 6): block-Jacobi preconditioner (inverted 6x6
     diagonal blocks of the system). Fixed iteration count (static control
     flow); with x0 = 0 the first iterate is the preconditioned gradient
-    step, so even iters=1 makes progress.
+    step, so even iters=1 makes progress. alpha/beta are zero-guarded so
+    iterations past convergence are exact no-ops (0/0 otherwise).
     """
 
     def dot(a, b):
@@ -349,18 +350,36 @@ def _pcg_solve(matvec, rhs, Minv_blocks, iters):
         x, r, z, p, rz = state
         Ap = matvec(p)
         pAp = dot(p, Ap)
-        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
         rz_new = dot(r, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
         return x, r, z, p, rz_new
 
     state = (x0, r0, z0, p0, dot(r0, z0))
     x, *_ = jax.lax.fori_loop(0, iters, body, state)
     return x
+
+
+def _pcg_solve(matvec, rhs, Minv_blocks, iters):
+    """PCG with implicit differentiation.
+
+    Differentiating THROUGH converged CG iterations is numerically
+    unstable (search directions and pAp vanish at convergence; the
+    reverse pass divides by them — observed NaN gradients). The system
+    is symmetric positive definite, so ``lax.custom_linear_solve`` with
+    ``symmetric=True`` gives the exact implicit gradient instead: the
+    backward pass is ONE more PCG solve against the same operator.
+    """
+    return jax.lax.custom_linear_solve(
+        matvec,
+        rhs,
+        solve=lambda mv, b: _pcg_iterations(mv, b, Minv_blocks, iters),
+        symmetric=True,
+    )
 
 
 def _ba_iteration(
@@ -746,6 +765,12 @@ def ba_refine_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
+        # custom_linear_solve (the implicitly-differentiated PCG) does
+        # not propagate replication/varying-axis tracking, so the solved
+        # delta would be flagged varying over the mesh axis even though
+        # every shard computes the identical replicated value (the psum
+        # inside the matvec guarantees it) — disable the check.
+        check_rep=False,
     )
     def refine(poses, landmarks, op, ol, opts_, ow):
         op, ol, opts_, ow = op[0], ol[0], opts_[0], ow[0]
