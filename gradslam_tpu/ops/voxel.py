@@ -90,10 +90,34 @@ def voxel_merge_rows(
         seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # (N,)
 
         cc = jnp.where(ls, rs[:, 9], 0.0)[:, None]  # (N, 1) weights
-        wsum = jax.ops.segment_sum(cc, seg, num_segments=N)  # (N, 1)
-        attr_sum = jax.ops.segment_sum(rs[:, 0:9] * cc, seg, num_segments=N)
+        vals = jnp.concatenate([rs[:, 0:9] * cc, cc], axis=-1)  # (N, 10)
+
+        # Per-cell sums WITHOUT segment_sum: cells are contiguous runs
+        # after the sort, so a segmented inclusive scan (value resets at
+        # each boundary flag — the classic flag/value associative
+        # operator) leaves each cell's total at its LAST row. segment_sum
+        # is a scatter-add at ~45 ns per source row (~30 ms/item at
+        # ScanNet capacities — measured to dominate the whole compaction);
+        # the scan plus one s32 scatter and one row gather replaces it at
+        # a fraction of the cost. Summation stays within-cell (no
+        # whole-arena cumsum), so there is no f32 cancellation.
+        def comb(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, vb + jnp.where(fb[..., None], 0.0, va)
+
+        _, scan_vals = jax.lax.associative_scan(comb, (boundary, vals))
+        rowix = jnp.arange(N, dtype=jnp.int32)
+        last = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+        # last row index of cell s, via one s32 scatter (dead-tail cells
+        # land past n_cells and are masked off below)
+        last_of_seg = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(last, seg, N)
+        ].set(rowix, mode="drop")
+        sums = scan_vals[last_of_seg]  # (N, 10) one row gather
+        wsum = sums[:, 9:10]
         denom = jnp.where(wsum > 0, wsum, 1.0)
-        attrs = attr_sum / denom  # (N, 9) merged point/normal/color
+        attrs = sums[:, 0:9] / denom  # (N, 9) merged point/normal/color
         if normalize_normals:
             nrm = attrs[:, 3:6]
             nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)

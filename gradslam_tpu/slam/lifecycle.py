@@ -41,6 +41,7 @@ __all__ = [
     "refresh_slam_state",
     "compact_slam_state",
     "slam_sequence_managed",
+    "slam_sequence_compacted",
 ]
 
 
@@ -155,6 +156,154 @@ def _scan_segment(
 
     state, poses = jax.lax.scan(body, state, xs)
     return state, jnp.swapaxes(poses, 0, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "opts", "capacity", "segment_len", "policy", "voxel_size",
+        "min_ccount", "keep_recent", "has_poses",
+    ),
+)
+def _sequence_compacted(
+    rgb_seq, depth_seq, intrinsics, poses_seq, opts, capacity,
+    segment_len, policy, voxel_size, min_ccount, keep_recent, has_poses,
+):
+    B, L, H, W, _ = rgb_seq.shape
+
+    def _compact_refresh(st):
+        if policy == "voxel":
+            m = voxel_compact_map(st.map_state, voxel_size)
+        else:
+            m = compact_map(
+                st.map_state, min_ccount=min_ccount, keep_recent=keep_recent
+            )
+        return refresh_slam_state(
+            st._replace(map_state=m), intrinsics, opts, H, W
+        )
+
+    def step(carry, x):
+        rgb, depth, gt_pose = x
+        new = slam_step_state(
+            carry, rgb, depth, intrinsics, opts,
+            gt_pose if (opts.odom == "gt" and has_poses) else None,
+        )
+        return new, new.pose
+
+    def chunk_xs(t0, t1):
+        return (
+            jnp.swapaxes(rgb_seq[:, t0:t1], 0, 1),
+            jnp.swapaxes(depth_seq[:, t0:t1], 0, 1),
+            jnp.swapaxes(poses_seq[:, t0:t1], 0, 1),
+        )
+
+    state = slam_init_state(
+        rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity,
+        poses_seq[:, 0] if has_poses else None,
+    )
+    poses_parts = [state.pose[:, None]]
+    peaks = []
+
+    # prologue: the remainder frames plus (when L-1 divides evenly) the
+    # first full segment — so the arena is never compacted while still
+    # holding only the init frame
+    rem = (L - 1) % segment_len if segment_len < L else L - 1
+    pro = rem if rem else min(segment_len, L - 1)
+    if pro:
+        state, p = jax.lax.scan(step, state, chunk_xs(1, 1 + pro))
+        poses_parts.append(jnp.swapaxes(p, 0, 1))
+
+    n_seg = (L - 1 - pro) // segment_len
+    if n_seg:
+        seg_rgb = jnp.swapaxes(rgb_seq[:, 1 + pro:], 0, 1).reshape(
+            n_seg, segment_len, B, H, W, 3
+        )
+        seg_dep = jnp.swapaxes(depth_seq[:, 1 + pro:], 0, 1).reshape(
+            n_seg, segment_len, B, H, W, 1
+        )
+        seg_pos = jnp.swapaxes(poses_seq[:, 1 + pro:], 0, 1).reshape(
+            n_seg, segment_len, B, 4, 4
+        )
+
+        def outer(carry, xs):
+            # entry live count == the previous segment's (monotonic) peak
+            entry_peak = jnp.max(carry.map_state.num_points)
+            st = _compact_refresh(carry)
+            st, p = jax.lax.scan(step, st, xs)
+            return st, (p, entry_peak)
+
+        state, (p_all, seg_peaks) = jax.lax.scan(
+            outer, state, (seg_rgb, seg_dep, seg_pos)
+        )
+        # (n_seg, seg, B, 4, 4) -> (B, n_seg*seg, 4, 4)
+        p_all = jnp.moveaxis(p_all, 2, 0).reshape(B, n_seg * segment_len, 4, 4)
+        poses_parts.append(p_all)
+        peaks.append(jnp.max(seg_peaks))
+
+    peaks.append(jnp.max(state.map_state.num_points))
+    peak_live = jnp.stack(peaks).max()
+    return state.map_state, jnp.concatenate(poses_parts, axis=1), peak_live
+
+
+def slam_sequence_compacted(
+    rgb_seq: jnp.ndarray,
+    depth_seq: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    poses_seq: Optional[jnp.ndarray],
+    opts: SLAMOptions,
+    capacity: int,
+    segment_len: int = 4,
+    policy: str = "voxel",
+    voxel_size: float = 0.01,
+    min_ccount: float = 1.0,
+    keep_recent: int = 0,
+) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
+    """Fused-program arena lifecycle: ONE jitted scan-of-scans that
+    compacts the arena unconditionally every ``segment_len`` frames.
+
+    :func:`slam_sequence_managed` decides WHETHER to compact on the host
+    (one scalar sync per boundary) — adaptive, but on a remote backend
+    each boundary costs a host round-trip plus a separate program
+    dispatch (~25-45 ms each). This variant trades the adaptivity away:
+    compaction + state refresh run unconditionally at every segment
+    boundary INSIDE one compiled program (outer ``lax.scan`` over
+    segments, inner over frames), so a long sequence keeps the fused
+    scan's single-dispatch cost. No ``lax.cond`` touches the arena (see
+    module docstring — conds copy it); the compaction simply always runs.
+
+    Use when the per-boundary compaction is known to pay for itself —
+    e.g. the ScanNet operating point, where upsampled/noisy depth makes
+    fusion append co-located duplicates and the voxel merge shrinks the
+    live set ~20x (tools/bench_scannet.py --fused-managed), keeping the
+    ``assoc_window`` working set small and valid.
+
+    Returns:
+        (map_state, poses (B, L, 4, 4), peak_live): ``peak_live`` is the
+        maximum live count ever reached (arena growth is monotonic
+        between boundaries, so boundary entry/exit counts capture the
+        true peak) — callers using ``opts.assoc_window`` should assert
+        ``peak_live <= assoc_window`` to certify no association drops.
+    """
+    if segment_len < 1:
+        raise ValueError(f"segment_len must be >= 1, got {segment_len}")
+    if policy not in ("voxel", "evict"):
+        raise ValueError(f"policy must be 'voxel' or 'evict', got {policy!r}")
+    if not opts.fusion and opts.odom_targets == "recent" and opts.odom != "gt":
+        raise ValueError(
+            "odom_targets='recent' depends on append recency, which "
+            "compaction destroys — use odom_targets='map' (or fusion) "
+            "with the managed lifecycle"
+        )
+    B, L = rgb_seq.shape[:2]
+    if opts.odom == "gt" and poses_seq is None:
+        raise ValueError("gt odometry requires poses")
+    has_poses = poses_seq is not None
+    if not has_poses:
+        poses_seq = jnp.zeros((B, L, 4, 4), rgb_seq.dtype)
+    return _sequence_compacted(
+        rgb_seq, depth_seq, intrinsics, poses_seq, opts, capacity,
+        segment_len, policy, voxel_size, min_ccount, keep_recent, has_poses,
+    )
 
 
 def slam_sequence_managed(

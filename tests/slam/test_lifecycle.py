@@ -16,6 +16,7 @@ import pytest
 from gradslam_tpu.slam import (
     SLAMOptions,
     slam_sequence,
+    slam_sequence_compacted,
     slam_sequence_managed,
 )
 
@@ -169,6 +170,124 @@ class TestManagedLifecycle:
                 colors, depths, K, poses,
                 SLAMOptions(odom="gt", fusion=True), 1000,
                 loop_closure="nope",
+            )
+
+
+class TestFusedCompacted:
+    """slam_sequence_compacted: the single-program lifecycle variant
+    (unconditional compaction every segment inside one scan-of-scans)."""
+
+    def test_aggregate_past_capacity_stays_accurate(self):
+        """Same worst case as the managed test: aggregate mapping appends
+        every pixel; with CAP ~ 2 frames the fused-compacted run must keep
+        covering the surface where the unmanaged run saturates."""
+        colors, depths, K, poses = _sequence()
+        B, _, H, W, _ = colors.shape
+        opts = SLAMOptions(odom="gt", fusion=False)
+        big_cap = L * H * W
+        small_cap = 2 * H * W
+
+        ref_m, ref_p = slam_sequence(colors, depths, K, poses, opts, big_cap)
+        # segment_len=1: aggregate appends ~H*W rows per frame, so the
+        # post-compaction floor (~6k) plus ONE frame stays under CAP; at
+        # segment_len=2 the arena would saturate mid-segment (the fused
+        # variant has no watermark — the segment length IS the bound)
+        man_m, man_p, peak = slam_sequence_compacted(
+            colors, depths, K, poses, opts, small_cap,
+            segment_len=1, policy="voxel", voxel_size=0.01,
+        )
+        assert np.all(np.asarray(man_m.num_points) < small_cap)
+        assert int(peak) >= int(np.asarray(man_m.num_points).max())
+        np.testing.assert_allclose(np.asarray(man_p), np.asarray(ref_p))
+        assert _coverage_err(ref_m, man_m) < 0.01
+
+    def test_fusion_gradicp_trajectory_bounded(self):
+        colors, depths, K, _ = _sequence()
+        B, _, H, W, _ = colors.shape
+        opts = SLAMOptions(odom="gradicp", numiters=10, fusion=True)
+        big_cap = L * H * W
+        small_cap = int(1.2 * H * W)
+
+        _, ref_p = slam_sequence(colors, depths, K, None, opts, big_cap)
+        # voxel 2 mm: the fused variant compacts at EVERY boundary (no
+        # watermark), so merge-induced position averaging accumulates —
+        # 5 mm cells drifted 9.4 mm over this clip, 2 mm cells 0.98 mm
+        man_m, man_p, peak = slam_sequence_compacted(
+            colors, depths, K, None, opts, small_cap,
+            segment_len=2, policy="voxel", voxel_size=0.002,
+        )
+        assert int(peak) <= small_cap
+        terr = np.linalg.norm(
+            np.asarray(man_p)[..., :3, 3] - np.asarray(ref_p)[..., :3, 3],
+            axis=-1,
+        )
+        assert terr.max() < 5e-3, terr.max()
+
+    def test_no_compaction_when_segment_covers_sequence(self):
+        """segment_len >= L-1 means no boundary is ever crossed: the
+        result must be BIT-IDENTICAL to plain slam_sequence."""
+        colors, depths, K, poses = _sequence()
+        B, _, H, W, _ = colors.shape
+        opts = SLAMOptions(odom="gt", fusion=True)
+        cap = L * H * W
+        ref_m, ref_p = slam_sequence(colors, depths, K, poses, opts, cap)
+        man_m, man_p, peak = slam_sequence_compacted(
+            colors, depths, K, poses, opts, cap, segment_len=L,
+        )
+        np.testing.assert_array_equal(np.asarray(man_p), np.asarray(ref_p))
+        np.testing.assert_array_equal(
+            np.asarray(man_m.data), np.asarray(ref_m.data)
+        )
+        assert int(peak) == int(np.asarray(ref_m.num_points).max())
+
+    def test_remainder_segmentations_agree(self):
+        """Every (remainder, n_seg) split produces the right pose count
+        and a finite map — covers prologue-only, even-split and
+        remainder-split code paths."""
+        colors, depths, K, poses = _sequence()
+        B, _, H, W, _ = colors.shape
+        opts = SLAMOptions(odom="gt", fusion=True)
+        cap = L * H * W
+        for seg in (2, 3, 4, 7):
+            m, p, peak = slam_sequence_compacted(
+                colors, depths, K, poses, opts, cap, segment_len=seg,
+            )
+            assert p.shape == (B, L, 4, 4), seg
+            np.testing.assert_allclose(
+                np.asarray(p), np.asarray(np.load(DATA / "poses.npy"))[
+                    :, [i % 3 for i in range(L)]
+                ].astype(np.float32), atol=1e-6,
+            )
+            assert np.isfinite(np.asarray(m.data)).all()
+            assert int(peak) > 0
+
+    def test_evict_policy(self):
+        colors, depths, K, poses = _sequence()
+        B, _, H, W, _ = colors.shape
+        opts = SLAMOptions(odom="gt", fusion=True)
+        small_cap = int(1.2 * H * W)
+        m, _, peak = slam_sequence_compacted(
+            colors, depths, K, poses, opts, small_cap,
+            segment_len=2, policy="evict",
+            min_ccount=1.5, keep_recent=H * W // 2,
+        )
+        assert np.all(np.asarray(m.num_points) <= small_cap)
+        assert np.isfinite(np.asarray(m.data)).all()
+
+    def test_option_validation(self):
+        colors, depths, K, poses = _sequence()
+        opts = SLAMOptions(odom="gradicp", fusion=False, odom_targets="recent")
+        with pytest.raises(ValueError, match="recency"):
+            slam_sequence_compacted(colors, depths, K, None, opts, 1000)
+        with pytest.raises(ValueError, match="segment_len"):
+            slam_sequence_compacted(
+                colors, depths, K, poses,
+                SLAMOptions(odom="gt", fusion=True), 1000, segment_len=0,
+            )
+        with pytest.raises(ValueError, match="policy"):
+            slam_sequence_compacted(
+                colors, depths, K, poses,
+                SLAMOptions(odom="gt", fusion=True), 1000, policy="nope",
             )
 
 

@@ -21,6 +21,21 @@ therefore must match AD exactly.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_compile_caches():
+    """Drop compiled-program caches before each x64 gradcheck.
+
+    Toggling ``jax.enable_x64`` after a long mixed-precision session has
+    segfaulted the XLA CPU compiler in-suite (reproducible at
+    TestPoseGraphGrad::test_grad_wrt_measurements_float64 when the whole
+    tests/slam directory runs first; the same test passes in isolation).
+    Clearing the caches isolates these compiles from the accumulated
+    state and costs only the recompile of five small programs."""
+    jax.clear_caches()
+    yield
 
 from gradslam_tpu.geometry import se3_exp
 from gradslam_tpu.parallel.pose_refine import (

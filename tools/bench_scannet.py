@@ -24,13 +24,47 @@ NUMITERS = 20
 DSRATIO = 4
 
 
-def load_sequence(H=240, W=320):
+def _bilinear2x(x):
+    """2x bilinear upsample over axes (2, 3) of (B, L, H, W, C)."""
+    B_, L_, H, W, C = x.shape
+    xr = x.reshape(B_ * L_, H, W, C)
+    # edge-aligned 2x: out[2i] = in[i], out[2i+1] = (in[i]+in[i+1])/2
+    mid_r = 0.5 * (xr[:, :-1] + xr[:, 1:])
+    rows = np.empty((B_ * L_, 2 * H, W, C), xr.dtype)
+    rows[:, 0::2] = xr
+    rows[:, 1:-1:2] = mid_r
+    rows[:, -1] = xr[:, -1]
+    mid_c = 0.5 * (rows[:, :, :-1] + rows[:, :, 1:])
+    out = np.empty((B_ * L_, 2 * H, 2 * W, C), xr.dtype)
+    out[:, :, 0::2] = rows
+    out[:, :, 1:-1:2] = mid_c
+    out[:, :, -1] = rows[:, :, -1]
+    return out.reshape(B_, L_, 2 * H, 2 * W, C)
+
+
+def load_sequence(H=240, W=320, upsample="bilinear"):
+    """Synthesizes ScanNet-geometry frames (240x320, L=16) from the golden
+    120x160 clip.
+
+    upsample='bilinear' (default): smooth depth — a plausible stand-in
+    for real 320x240 ScanNet content (well-defined normals, normal merge
+    statistics). 'nearest': blocky 2x2-duplicated depth — an ADVERSARIAL
+    variant whose degenerate in-block normals break both projective
+    odometry and fusion merging (~75% of pixels append every frame, the
+    map grows ~57k rows/frame) — the stress case for the arena-lifecycle
+    paths (--managed/--fused-managed).
+    """
     d = ROOT / "tests" / "data" / "msrd_b2s3"
     colors = np.load(d / "colors.npy")  # (2, 3, 120, 160, 3)
     depths = np.load(d / "depths.npy")
     idx = [i % colors.shape[1] for i in range(L)]
-    colors = colors[:, idx].repeat(2, axis=2).repeat(2, axis=3)
-    depths = depths[:, idx].repeat(2, axis=2).repeat(2, axis=3)
+    colors, depths = colors[:, idx], depths[:, idx]
+    if upsample == "bilinear":
+        colors = _bilinear2x(colors)
+        depths = _bilinear2x(depths)
+    else:
+        colors = colors.repeat(2, axis=2).repeat(2, axis=3)
+        depths = depths.repeat(2, axis=2).repeat(2, axis=3)
     K = np.load(d / "intrinsics.npy").copy()
     K[:, :, :2] *= 2.0  # fx, fy, cx, cy scale with the upsample
     return (
@@ -55,14 +89,25 @@ def main():
                     "(and every active-set op) stays small AND capacity "
                     "can shrink to a small multiple of the working set "
                     "(--capacity) — per-capacity costs shrink with it")
-    ap.add_argument("--voxel", type=float, default=0.005)
+    ap.add_argument("--fused-managed", action="store_true",
+                    help="slam_sequence_compacted: ONE jitted program "
+                    "that voxel-compacts unconditionally every "
+                    "--segment-len frames — no host syncs or per-segment "
+                    "dispatch (~25-45 ms each on a remote backend)")
+    ap.add_argument("--upsample", default="bilinear",
+                    choices=("bilinear", "nearest"),
+                    help="depth upsampling for the synthesized frames: "
+                    "bilinear = realistic smooth content (default); "
+                    "nearest = adversarial blocky content (lifecycle "
+                    "stress case)")
+    ap.add_argument("--voxel", type=float, default=0.01)
     ap.add_argument("--segment-len", type=int, default=8)
     ap.add_argument("--watermark", type=float, default=0.0,
                     help="compaction trigger as a fraction of CAPACITY; "
-                    "0 = auto (0.8 * window / capacity: compact when the "
-                    "live map nears the association window, NOT the "
-                    "worst-case per-segment append bound — that bound "
-                    "triggered every segment and cost 6x)")
+                    "0 = auto: the worst-case-safe bound "
+                    "(window - segment_len*H*W)/capacity, so even if "
+                    "EVERY pixel of every segment frame appends the live "
+                    "set cannot outgrow the association window")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +115,7 @@ def main():
 
     from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
 
-    colors, depths, K = load_sequence()
+    colors, depths, K = load_sequence(upsample=args.upsample)
     H, W = colors.shape[2], colors.shape[3]
     window = 4 * H * W if args.window < 0 else args.window
     capacity = args.capacity or L * H * W
@@ -81,14 +126,27 @@ def main():
     )
     rgb, dep, Kj = jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(K)
 
-    if args.managed:
+    if args.fused_managed:
+        from gradslam_tpu.slam.lifecycle import slam_sequence_compacted
+
+        def fn(r, d, k):
+            m, poses, peak = slam_sequence_compacted(
+                r, d, k, None, opts, capacity,
+                segment_len=args.segment_len,
+                policy="voxel", voxel_size=args.voxel,
+            )
+            overflow = peak > window if window else jnp.array(False)
+            return poses.sum() + m.points.sum(), overflow, peak
+    elif args.managed:
         from gradslam_tpu.slam.lifecycle import slam_sequence_managed
 
-        # compact when the live map nears the association window (voxel
-        # merge reclaims converged duplicates); the bench's overflow
-        # assert below still guards exactness if a burst outruns it
+        # compact when a worst-case segment (every pixel appends) could
+        # outgrow the association window; the bench's overflow assert
+        # below still certifies exactness after the fact
         wm = args.watermark or min(
-            0.95, max(0.05, 0.8 * (window or capacity) / capacity)
+            0.95,
+            max(1e-6, ((window or capacity) - args.segment_len * H * W)
+                / capacity),
         )
 
         def fn(r, d, k):
