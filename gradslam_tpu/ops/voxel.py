@@ -94,19 +94,24 @@ def voxel_merge_rows(
 
         # Per-cell sums WITHOUT segment_sum: cells are contiguous runs
         # after the sort, so a segmented inclusive scan (value resets at
-        # each boundary flag — the classic flag/value associative
-        # operator) leaves each cell's total at its LAST row. segment_sum
-        # is a scatter-add at ~45 ns per source row (~30 ms/item at
-        # ScanNet capacities — measured to dominate the whole compaction);
-        # the scan plus one s32 scatter and one row gather replaces it at
-        # a fraction of the cost. Summation stays within-cell (no
-        # whole-arena cumsum), so there is no f32 cancellation.
-        def comb(a, b):
-            fa, va = a
-            fb, vb = b
-            return fa | fb, vb + jnp.where(fb[..., None], 0.0, va)
-
-        _, scan_vals = jax.lax.associative_scan(comb, (boundary, vals))
+        # each boundary flag — the classic flag/value operator) leaves
+        # each cell's total at its LAST row. segment_sum is a scatter-add
+        # at ~45 ns per source row (~30 ms/item at ScanNet capacities —
+        # measured to dominate the whole compaction); the scan plus one
+        # s32 scatter and one row gather replaces it at a fraction of the
+        # cost. Summation stays within-cell (no whole-arena cumsum), so
+        # there is no f32 cancellation. Written as an explicit
+        # Hillis-Steele log-shift loop with STATIC pads — XLA fuses each
+        # level into one elementwise pass; ``lax.associative_scan``'s
+        # odd/even lowering measured 2x SLOWER than the scatter here.
+        scan_vals, f = vals, boundary
+        d = 1
+        while d < N:
+            vs = jnp.pad(scan_vals[:-d], ((d, 0), (0, 0)))
+            fs = jnp.pad(f[:-d], (d, 0), constant_values=True)
+            scan_vals = scan_vals + jnp.where(f[:, None], 0.0, vs)
+            f = f | fs
+            d *= 2
         rowix = jnp.arange(N, dtype=jnp.int32)
         last = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
         # last row index of cell s, via one s32 scatter (dead-tail cells

@@ -39,6 +39,7 @@ __all__ = [
     "detect_loop_closures_descriptor",
     "verify_loop_closures",
     "close_loops",
+    "close_loops_batched",
     "close_loops_rgbd",
 ]
 
@@ -603,6 +604,158 @@ def close_loops(
     return refined, cand, w_loop
 
 
+def close_loops_batched(
+    poses: jnp.ndarray,
+    frame_points: jnp.ndarray,
+    frame_normals: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    max_candidates: int = 8,
+    min_separation: int = 5,
+    max_distance: float = 0.5,
+    max_angle: float = 1.0472,
+    icp_numiters: int = 20,
+    inlier_dist: float = 0.05,
+    min_inlier_frac: float = 0.5,
+    refine_iters: int = 10,
+    odometry_weight: float = 1.0,
+    loop_weight: float = 1.0,
+    detection: str = "pose",
+    descriptors: Optional[jnp.ndarray] = None,
+    max_descriptor_dist: float = 0.25,
+    appearance_init: str = "multistart",
+) -> Tuple[jnp.ndarray, LoopCandidates, jnp.ndarray]:
+    """Batched :func:`close_loops` over (B, L, ...) inputs — one device
+    program per stage instead of B.
+
+    A host loop of per-item ``close_loops`` calls dispatches B detection
+    programs, B ICP verifications and B pose-graph refinements per
+    invocation — quadratic waste as batch grows (each dispatch to a
+    remote backend costs ~ms). Here detection is ``vmap``-ed, ICP
+    verification runs as ONE batched solve over all B*K candidates (the
+    per-keyframe clouds flatten to a (B*L, N, 3) axis and candidate
+    indices get per-item offsets — the gradICP solver and the KNN kernel
+    are natively batched, so folding B into their batch axis is free),
+    and Gauss-Newton refinement is ``vmap``-ed over the B pose graphs.
+
+    Args / returns: as :func:`close_loops`, with a leading batch axis on
+    ``poses`` (B, L, 4, 4), the frame arrays (B, L, N, ...),
+    ``descriptors`` (B, L, D) and every output.
+    """
+    if detection not in ("pose", "appearance", "both"):
+        raise ValueError(
+            f"detection must be 'pose', 'appearance' or 'both', got "
+            f"{detection!r}"
+        )
+    if detection in ("appearance", "both") and descriptors is None:
+        raise ValueError(
+            f"detection={detection!r} requires descriptors "
+            "(keyframe_descriptors output)"
+        )
+    B, L = poses.shape[:2]
+    N = frame_points.shape[2]
+
+    cand_sets = []
+    if detection in ("pose", "both"):
+        det = functools.partial(
+            detect_loop_closures,
+            max_candidates=max_candidates,
+            min_separation=min_separation,
+            max_distance=max_distance,
+            max_angle=max_angle,
+        )
+        cand_sets.append((jax.vmap(det)(poses), "poses"))
+    if detection in ("appearance", "both"):
+        det = functools.partial(
+            detect_loop_closures_descriptor,
+            max_candidates=max_candidates,
+            min_separation=min_separation,
+            max_descriptor_dist=max_descriptor_dist,
+        )
+        cand_sets.append((jax.vmap(det)(descriptors), appearance_init))
+
+    # flatten the batch into the keyframe axis: item b's frame t lives at
+    # flat index b*L + t, so per-item candidate pairs offset by b*L
+    poses_flat = poses.reshape(B * L, 4, 4)
+    pts_flat = frame_points.reshape(B * L, N, 3)
+    nrm_flat = frame_normals.reshape(B * L, N, 3)
+    val_flat = frame_valid.reshape(B * L, N)
+    offs = (jnp.arange(B, dtype=jnp.int32) * L)[:, None, None]
+
+    Z_parts, w_parts, edge_parts, valid_parts = [], [], [], []
+    for cand_b, init in cand_sets:
+        K = cand_b.edges.shape[1]
+        flat = LoopCandidates(
+            edges=(cand_b.edges + offs).reshape(B * K, 2),
+            valid=cand_b.valid.reshape(B * K),
+        )
+        Z_f, w_f = verify_loop_closures(
+            flat,
+            poses_flat,
+            pts_flat,
+            nrm_flat,
+            val_flat,
+            numiters=icp_numiters,
+            inlier_dist=inlier_dist,
+            min_inlier_frac=min_inlier_frac,
+            init=init,
+        )
+        Z_parts.append(Z_f.reshape(B, K, 4, 4))
+        w_parts.append(w_f.reshape(B, K))
+        edge_parts.append(cand_b.edges)
+        valid_parts.append(cand_b.valid)
+
+    cand = LoopCandidates(
+        edges=jnp.concatenate(edge_parts, axis=1),
+        valid=jnp.concatenate(valid_parts, axis=1),
+    )
+    Z_loop = jnp.concatenate(Z_parts, axis=1)  # (B, K', 4, 4)
+    w_loop = jnp.concatenate(w_parts, axis=1)  # (B, K')
+
+    if len(cand_sets) > 1:
+        # per-item dedup across detectors (same masking rule as
+        # close_loops, vectorized over B)
+        key = cand.edges[..., 0] * L + cand.edges[..., 1]  # (B, K')
+        live = w_loop > 0
+        Kp = key.shape[1]
+        tri = (
+            jnp.arange(Kp)[:, None] > jnp.arange(Kp)[None, :]
+        )  # (K', K')
+        dup = (
+            (key[:, :, None] == key[:, None, :])
+            & live[:, :, None]
+            & live[:, None, :]
+            & tri[None]
+        ).any(axis=2)
+        w_loop = jnp.where(dup, 0.0, w_loop)
+
+    edges_odo = jnp.stack(
+        [jnp.arange(L - 1), jnp.arange(1, L)], axis=-1
+    ).astype(jnp.int32)
+    Z_odo = relative_transformation(
+        poses[:, :-1], poses[:, 1:], orthogonal_rotations=True
+    )  # (B, L-1, 4, 4)
+
+    graphs = PoseGraph(
+        poses=poses,
+        edges=jnp.concatenate(
+            [jnp.broadcast_to(edges_odo[None], (B, L - 1, 2)), cand.edges],
+            axis=1,
+        ),
+        measurements=jnp.concatenate([Z_odo, Z_loop], axis=1),
+        weights=jnp.concatenate(
+            [
+                jnp.full((B, L - 1), odometry_weight, poses.dtype),
+                w_loop * loop_weight,
+            ],
+            axis=1,
+        ),
+    )
+    refined = jax.vmap(
+        lambda g: pose_graph_refine(g, num_iters=refine_iters)
+    )(graphs)
+    return refined, cand, w_loop
+
+
 def frame_clouds_from_rgbd(
     depth_seq: jnp.ndarray, intrinsics: jnp.ndarray, dsratio: int = 4
 ):
@@ -671,32 +824,21 @@ def close_loops_rgbd(
     pts, nrm, val, nm, valid = frame_clouds_from_rgbd(
         depth_seq, intrinsics, dsratio
     )
-    B = rgb_seq.shape[0]
     # pose-independent appearance descriptors for drift-robust detection
     descs = None
     if kwargs.get("detection", "pose") in ("appearance", "both"):
         if descriptor == "invariant":
-            descs = [
-                keyframe_descriptors_invariant(pts[b], nrm[b], val[b])
-                for b in range(B)
-            ]
+            descs = jax.vmap(keyframe_descriptors_invariant)(pts, nrm, val)
         else:
-            valid2 = valid[..., 0]  # (B, L, H, W)
-            descs = [
-                keyframe_descriptors(
-                    depth_seq[b, ..., 0], nm[b], valid2[b]
-                )
-                for b in range(B)
-            ]
+            descs = jax.vmap(keyframe_descriptors)(
+                depth_seq[..., 0], nm, valid[..., 0]
+            )
 
-    # host-level loop over the (small) batch: keeps the batched-ICP
-    # verification and the Pallas KNN at their native rank
-    refined = [
-        close_loops(
-            poses[b], pts[b], nrm[b], val[b],
-            **({} if descs is None else {"descriptors": descs[b]}),
-            **kwargs,
-        )[0]
-        for b in range(B)
-    ]
-    return jnp.stack(refined)
+    # one batched program per stage — detection vmapped, all B*K
+    # candidates ICP-verified in one solve, refinement vmapped
+    refined, _, _ = close_loops_batched(
+        poses, pts, nrm, val,
+        **({} if descs is None else {"descriptors": descs}),
+        **kwargs,
+    )
+    return refined

@@ -512,3 +512,81 @@ class TestViewpointRobustDetection:
         assert err_after < 0.5 * err_before, (
             f"drift not reduced: {err_before:.4f} -> {err_after:.4f}"
         )
+
+
+class TestBatchedCloseLoops:
+    """close_loops_batched == a host loop of per-item close_loops."""
+
+    def _batch(self, seeds=(0, 7)):
+        items = [_make_loop(seed=s, drift=0.03) for s in seeds]
+        stack = lambda i: jnp.stack([it[i] for it in items])
+        return stack(0), stack(1), stack(2), stack(3), stack(4)
+
+    def test_matches_per_item_close_loops_pose_detection(self):
+        from gradslam_tpu.slam import close_loops_batched
+
+        _, drifted, pts, nrm, val = self._batch()
+        kw = dict(
+            max_candidates=4, min_separation=5, max_distance=0.3,
+            icp_numiters=15, refine_iters=8,
+        )
+        ref = jnp.stack(
+            [
+                close_loops(drifted[b], pts[b], nrm[b], val[b], **kw)[0]
+                for b in range(drifted.shape[0])
+            ]
+        )
+        got, cand, w = close_loops_batched(drifted, pts, nrm, val, **kw)
+        assert got.shape == ref.shape
+        # same accepted edges and the same refined trajectories (identical
+        # programs modulo batching — tolerances cover fused-order ULPs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+        assert w.shape[0] == drifted.shape[0]
+
+    def test_matches_per_item_both_detection(self):
+        from gradslam_tpu.slam import (
+            close_loops_batched,
+            keyframe_descriptors_invariant,
+        )
+
+        _, drifted, pts, nrm, val = self._batch()
+        B = drifted.shape[0]
+        descs = jnp.stack(
+            [
+                keyframe_descriptors_invariant(pts[b], nrm[b], val[b])
+                for b in range(B)
+            ]
+        )
+        kw = dict(
+            max_candidates=3, min_separation=5, max_distance=0.3,
+            icp_numiters=12, refine_iters=6, detection="both",
+            appearance_init="identity",
+        )
+        ref = jnp.stack(
+            [
+                close_loops(
+                    drifted[b], pts[b], nrm[b], val[b],
+                    descriptors=descs[b], **kw
+                )[0]
+                for b in range(B)
+            ]
+        )
+        got, _, _ = close_loops_batched(
+            drifted, pts, nrm, val, descriptors=descs, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_validation(self):
+        from gradslam_tpu.slam import close_loops_batched
+
+        _, drifted, pts, nrm, val = self._batch()
+        with pytest.raises(ValueError, match="detection"):
+            close_loops_batched(drifted, pts, nrm, val, detection="nope")
+        with pytest.raises(ValueError, match="descriptors"):
+            close_loops_batched(
+                drifted, pts, nrm, val, detection="appearance"
+            )

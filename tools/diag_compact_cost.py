@@ -23,14 +23,20 @@ from bench_scannet import load_sequence, B, L, NUMITERS, DSRATIO  # noqa: E402
 
 
 def timed(label, fn, state0, n=8):
-    """Chains fn n times from state0, one fetch at the end."""
+    """Times n INDEPENDENT dispatches of fn(state0), one fetch at the end.
+
+    Independent (not chained output->input): ops like voxel compaction
+    are much slower on their own (already-compacted) output — degenerate
+    sort keys — which made chained timings unrepresentative (measured
+    1.3 s/call chained vs ~30 ms in a realistic pipeline). Dispatches
+    queue on the single device stream, so wall/n is still device time.
+    """
     s = fn(state0)  # warm 1 (compile)
-    s = fn(s)       # warm 2 (remote load)
-    t0 = time.perf_counter()
-    s = state0
-    for _ in range(n):
-        s = fn(s)
+    s = fn(state0)  # warm 2 (remote load)
     sync(s)
+    t0 = time.perf_counter()
+    outs = [fn(state0) for _ in range(n)]
+    sync(outs[-1])
     dt = (time.perf_counter() - t0) / n
     print(f"{label}: {dt*1e3:.2f} ms/call", flush=True)
     return dt
