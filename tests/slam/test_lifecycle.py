@@ -100,9 +100,13 @@ class TestManagedLifecycle:
         small_cap = int(1.2 * H * W)  # frame 0 alone uses ~0.88 HW
 
         _, ref_p = slam_sequence(colors, depths, K, None, opts, big_cap)
+        # voxel 2 mm: merge-induced position averaging is bounded by the
+        # cell size, so 5 mm cells sat AT the 5e-3 trajectory threshold
+        # (4.9-5.2 mm depending on summation order) — assert well inside
+        # the bound instead of at it
         man_m, man_p = slam_sequence_managed(
             colors, depths, K, None, opts, small_cap,
-            watermark=0.85, segment_len=2, policy="voxel", voxel_size=0.005,
+            watermark=0.85, segment_len=2, policy="voxel", voxel_size=0.002,
         )
         assert np.all(np.asarray(man_m.num_points) <= small_cap)
         terr = np.linalg.norm(
