@@ -136,7 +136,7 @@ def main():
                 policy="voxel", voxel_size=args.voxel,
             )
             overflow = peak > window if window else jnp.array(False)
-            return poses.sum() + m.points.sum(), overflow, peak
+            return poses.sum() + m.points.sum(), overflow, peak, poses
     elif args.managed:
         from gradslam_tpu.slam.lifecycle import slam_sequence_managed
 
@@ -161,7 +161,8 @@ def main():
                 else jnp.array(False)
             )
             return (
-                poses.sum() + m.points.sum(), overflow, jnp.max(m.num_points)
+                poses.sum() + m.points.sum(), overflow,
+                jnp.max(m.num_points), poses,
             )
     else:
         def _run(r, d, k):
@@ -171,13 +172,23 @@ def main():
                 else jnp.array(False)
             )
             return (
-                poses.sum() + m.points.sum(), overflow, jnp.max(m.num_points)
+                poses.sum() + m.points.sum(), overflow,
+                jnp.max(m.num_points), poses,
             )
 
         fn = jax.jit(_run)
-    chk, overflow, maxnp = fn(rgb, dep, Kj)
+    chk, overflow, maxnp, poses = fn(rgb, dep, Kj)
     print(f"max num_points: {int(maxnp)} (window {window}, cap {capacity})")
     assert not bool(overflow), "map outgrew assoc_window"
+    # accuracy guard: the clip cycles 3 golden frames, so the fixture's
+    # poses cycle too — every configuration must stay within a few mm of
+    # them or its fps number is meaningless
+    gt = np.load(ROOT / "tests" / "data" / "msrd_b2s3" / "poses.npy")
+    gt = gt[:, [i % gt.shape[1] for i in range(L)]].astype(np.float32)
+    terr = np.linalg.norm(
+        np.asarray(poses)[..., :3, 3] - gt[..., :3, 3], axis=-1
+    )
+    print(f"max pose error vs cycled gt: {terr.max()*1e3:.2f} mm")
 
     prev = None
     for _ in range(8):
