@@ -15,7 +15,6 @@ Usage:
 
 import argparse
 import json
-import sys
 import time
 
 

@@ -12,7 +12,6 @@ Returns numpy arrays (the host/device boundary): feed them to
 
 from __future__ import annotations
 
-import os
 import warnings
 from pathlib import Path
 from typing import Optional, Union

@@ -25,7 +25,7 @@ extra alignment solve. Wall-clock becomes O(L / n_chunks) per device.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

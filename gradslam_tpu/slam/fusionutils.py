@@ -20,7 +20,7 @@ reproduce the reference's table-based host API for parity tests.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Union
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,6 @@ from ..structures.maparena import (
     append_rows_to_map,
     append_to_map,
     map_mask,
-    pack_rows,
 )
 
 __all__ = [

@@ -283,6 +283,10 @@ def slam_sequence_compacted(
         between boundaries, so boundary entry/exit counts capture the
         true peak) — callers using ``opts.assoc_window`` should assert
         ``peak_live <= assoc_window`` to certify no association drops.
+        CAVEAT: ``num_points`` saturates at ``capacity`` (masked appends
+        past capacity are silently dropped), so additionally assert
+        ``peak_live < capacity`` — a saturated arena passes the window
+        check while appends were being dropped mid-segment.
     """
     if segment_len < 1:
         raise ValueError(f"segment_len must be >= 1, got {segment_len}")
@@ -292,7 +296,7 @@ def slam_sequence_compacted(
         raise ValueError(
             "odom_targets='recent' depends on append recency, which "
             "compaction destroys — use odom_targets='map' (or fusion) "
-            "with the managed lifecycle"
+            "with a compacting lifecycle"
         )
     B, L = rgb_seq.shape[:2]
     if opts.odom == "gt" and poses_seq is None:

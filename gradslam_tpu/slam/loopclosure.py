@@ -629,7 +629,7 @@ def close_loops_batched(
 
     A host loop of per-item ``close_loops`` calls dispatches B detection
     programs, B ICP verifications and B pose-graph refinements per
-    invocation — quadratic waste as batch grows (each dispatch to a
+    invocation — B times the per-stage dispatch cost (each dispatch to a
     remote backend costs ~ms). Here detection is ``vmap``-ed, ICP
     verification runs as ONE batched solve over all B*K candidates (the
     per-keyframe clouds flatten to a (B*L, N, 3) axis and candidate

@@ -17,7 +17,6 @@ millimeter range) — not just that shapes line up. A separate test
 measures IO-included throughput and proves decode/compute overlap.
 """
 
-import pathlib
 import time
 
 import imageio.v2 as imageio
@@ -396,6 +395,14 @@ class TestIOComputeOverlap:
             assert t_overlap < 1.4 * (t_io + t_compute), (
                 f"prefetching loader pathologically slow: {t_overlap:.3f}s "
                 f"vs serial {t_io + t_compute:.3f}s"
+            )
+            # Surface the coverage gap in test reports instead of silently
+            # passing a weaker assertion: the hiding property itself was NOT
+            # verified on this backend.
+            pytest.skip(
+                "decode/compute overlap property requires an accelerator "
+                "backend (run with GRADSLAM_TPU_TEST_REAL=1); CPU run only "
+                "verified the loader is not pathologically slow"
             )
         print(
             f"\nIO-included throughput: {fps:.1f} frames/s "

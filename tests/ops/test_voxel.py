@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gradslam_tpu.ops.voxel import voxel_merge, voxel_merge_rows
 from gradslam_tpu.structures.maparena import pack_rows

@@ -2,7 +2,6 @@
 the single-device ``slam_sequence`` (the handoff moves identical math one
 step earlier onto another device)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

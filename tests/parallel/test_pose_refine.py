@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gradslam_tpu.geometry import inverse_transformation, se3_exp
+from gradslam_tpu.geometry import se3_exp
 from gradslam_tpu.parallel.pose_refine import (
     PoseGraph,
     ba_refine,

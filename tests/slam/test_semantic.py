@@ -3,7 +3,6 @@
 import jax.numpy as jnp
 import numpy as np
 import pathlib
-import pytest
 
 from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
 

@@ -13,13 +13,12 @@ import pathlib
 import sys
 import time
 
-import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tools"))
 
-from bench_scannet import load_sequence, B, L, NUMITERS, DSRATIO  # noqa: E402
+from bench_scannet import load_sequence, B, NUMITERS, DSRATIO  # noqa: E402
 
 
 def timed(label, fn, state0, n=8):

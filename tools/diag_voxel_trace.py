@@ -7,7 +7,6 @@ Then: python tools/profile_bench.py --parse_only --trace_dir DIR
 import argparse
 import pathlib
 import sys
-import time
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))

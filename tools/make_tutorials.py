@@ -8,7 +8,6 @@ Usage: python tools/make_tutorials.py [--execute]
 
 import argparse
 import pathlib
-import sys
 
 import nbformat as nbf
 
