@@ -39,7 +39,11 @@ def initialize_multihost(
     Safe to call when already initialized (no-op) or on a single process
     (no-op when ``num_processes`` resolves to 1).
     """
-    if jax.process_count() > 1:
+    # NOTE: the guard must not touch the XLA backend — jax.process_count()
+    # would initialise it, after which jax.distributed.initialize raises
+    # ("must be called before any JAX calls"). Found by the two-process
+    # rendezvous test (tests/parallel/test_multihost.py).
+    if jax.distributed.is_initialized():
         return  # already initialized
     try:
         jax.distributed.initialize(
