@@ -438,6 +438,30 @@ def _resolve_merge_window(merge_window, H: int, W: int, view_rows: int):
     return merge_window
 
 
+def _resolve_model_rows(mode: str, H: int, W: int, capacity: int) -> bool:
+    """Resolves the model_rows option to a bool (dense on/off).
+
+    'dense' builds the projective-odometry target rows (B, H*W, 7)
+    densely at fusion time; 'gather' keeps the arena row gather at
+    ``model_img`` indices. Auto: dense once the arena outgrows ~12*H*W —
+    measured on v5e, the winner/model row gathers run at ~5.5 ns/row
+    while the arena fits cache but degrade ~5x (25+ ns/row) at ScanNet
+    capacities (1.2M rows, 118 MB planar table, random indices), while
+    the dense build's cost (one s32 rank scatter + one H*W row gather
+    from the frame-sized mrows table + selects) stays capacity-
+    independent.
+    """
+    if mode == "dense":
+        return True
+    if mode == "gather":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"model_rows must be 'dense', 'gather' or 'auto', got {mode!r}"
+        )
+    return capacity > 12 * H * W
+
+
 def _resolve_assoc_window(assoc_window, capacity: int):
     """Resolves the assoc_window option (<=0 off, >0 static prefix rows).
 
@@ -478,6 +502,7 @@ def fusion_update_compact(
     frame_labels: Optional[jnp.ndarray] = None,
     merge_window: Optional[int] = None,
     assoc_window: int = -1,
+    dense_model_rows: bool = False,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -507,6 +532,14 @@ def fusion_update_compact(
     IMAGE: the arena slot of the point fused (merged or appended) at each
     pixel, ``CAP`` where none. The model image is the association target
     for projective odometry (slam/icpslam.py, ``assoc='projective'``).
+
+    With ``dense_model_rows`` the tuple gains a 4th element: the MODEL
+    ROWS (B, H*W, 7) ``[point(3), normal(3), valid(1)]`` — the
+    projective-odometry target image built densely from this frame's
+    merge results (winner pixels read their merged row, appended pixels
+    their frame row), bitwise-identical to gathering the arena at
+    ``model_img`` but without a random gather into a large arena (see
+    :func:`_resolve_model_rows`).
 
     With ``frame_labels`` ((B, H, W) integer semantic labels, e.g. from the
     ScanNet loader) the arena's spare channels carry a per-point label
@@ -658,6 +691,13 @@ def fusion_update_compact(
             .at[b_idx, dest]
             .set(slot_sorted, mode="drop")
         )  # (B, HW) ABSOLUTE arena slot per winner; CAP where no winner
+        # TRIED AND REJECTED (round 4): re-sorting winner slots ascending
+        # before the winner-row gather (hypothesis: sequential reads of
+        # the big planar arena beat random ones). Measured NO index-order
+        # effect on v5e at CAP=1.2M — 12-ch row gathers run ~9 ns/row and
+        # row scatters ~128 ns/row for random AND sorted indices
+        # (tools/diag_sorted_scatter.py) — so the extra HW-row sort was a
+        # pure ~0.5 ms loss (68.3 vs 69.6 fps at the ScanNet point).
         return arena_slot, avalid, wslots
 
     merge_tgt = None  # None -> merge into the full arena
@@ -816,10 +856,35 @@ def fusion_update_compact(
             + jnp.cumsum(new_mask, axis=1, dtype=jnp.int32)
             - 1
         )
-        model_img = jnp.where(
-            new_mask & (app_slot < CAP), app_slot, model_img
+        app_valid = new_mask & (app_slot < CAP)
+        model_img = jnp.where(app_valid, app_slot, model_img)
+        if not dense_model_rows:
+            return out, (arena_slot, avalid, model_img)
+        # MODEL ROWS: the per-pixel odometry target rows, built densely.
+        # The arena row at model_img[pix] is — by construction of the
+        # writeback and the append — either this frame's merge row
+        # (winner pixels: mrows[rank]) or this frame's frame row
+        # (appended pixels), so both can be read from the H*W-sized
+        # buffers already in hand instead of gathering the (large,
+        # planar, cache-hostile) arena at random indices next frame.
+        # Bitwise identical to that gather.
+        rank = jnp.broadcast_to(
+            jnp.arange(HW, dtype=jnp.int32)[None, :], (B, HW)
         )
-        return out, (arena_slot, avalid, model_img)
+        rank_img = (
+            jnp.full((B, HW + 1), HW, dtype=jnp.int32)
+            .at[bw, jnp.where(wvalid, pixw, HW)]
+            .set(rank, mode="drop")
+        )[:, :HW]
+        win_rows = jnp.take_along_axis(
+            mrows, jnp.minimum(rank_img, HW - 1)[..., None], axis=1
+        )
+        has_win = rank_img < HW
+        mr6 = jnp.where(has_win[..., None], win_rows[..., 0:6], 0.0)
+        mr6 = jnp.where(app_valid[..., None], frame_rows[..., 0:6], mr6)
+        tval = (has_win | app_valid).astype(mr6.dtype)
+        model_rows = jnp.concatenate([mr6, tval[..., None]], axis=-1)
+        return out, (arena_slot, avalid, model_img, model_rows)
     return out
 
 

@@ -40,6 +40,7 @@ from ..structures.rgbdimages import (
 )
 from .fusionutils import (
     _project_points_to_frame,
+    _resolve_model_rows,
     aggregate_map_dense,
     fusion_update_compact,
 )
@@ -84,6 +85,12 @@ class SLAMOptions(NamedTuple):
     assoc_window: int = 0  # assoc prefix window rows (<=0 off = exact)
     odom_targets: str = "map"  # aggregate mapping: 'map' (reference:
     # all active points) | 'recent' (prev frame's appends — bounded cost)
+    model_rows: str = "auto"  # projective odometry targets: 'gather'
+    # (random-index arena row gather at model_img) | 'dense' (carry the
+    # per-pixel target rows, built densely at fusion time — avoids the
+    # random gather into a large arena, whose cost degrades ~5x once the
+    # arena outgrows cache) | 'auto' (dense iff capacity > 12*H*W, the
+    # same large-map crossover as merge_window)
 
 
 def _frame_maps_local(depth, intrinsics):
@@ -272,7 +279,7 @@ def _localize(
 
 def _localize_projective(
     map_state, prev_pose, model_img, rgb, depth, intrinsics, opts: SLAMOptions,
-    local_maps=None,
+    local_maps=None, model_rows=None,
 ):
     """Odometry via PROJECTIVE association against the carried model image.
 
@@ -289,12 +296,21 @@ def _localize_projective(
         rgb, depth, intrinsics, prev_pose, local_maps
     )
 
-    # model image rows: ONE wide gather; validity packed as channel 7
-    rows = jnp.take_along_axis(
-        map_state.data, jnp.minimum(model_img, CAP - 1)[..., None], axis=1
-    )  # (B, HW, 12)
-    tvalid = (model_img < CAP).astype(rows.dtype)
-    tgt_img = jnp.concatenate([rows[..., 0:6], tvalid[..., None]], axis=-1)
+    if model_rows is not None:
+        # dense-carried target rows (opts.model_rows: bitwise equal to
+        # the gather below, no random access into a large arena)
+        tgt_img = model_rows
+    else:
+        # model image rows: ONE wide gather; validity packed as channel 7
+        rows = jnp.take_along_axis(
+            map_state.data,
+            jnp.minimum(model_img, CAP - 1)[..., None],
+            axis=1,
+        )  # (B, HW, 12)
+        tvalid = (model_img < CAP).astype(rows.dtype)
+        tgt_img = jnp.concatenate(
+            [rows[..., 0:6], tvalid[..., None]], axis=-1
+        )
 
     # Projective association NEEDS a distance gate: a projection landing
     # on an unrelated surface otherwise yields a confidently wrong
@@ -342,13 +358,22 @@ def _map_update(
     map_state, pose, rgb, depth, intrinsics, opts: SLAMOptions,
     return_active: bool = False, labels=None, local_maps=None,
 ):
-    """Mapping: fuse or aggregate the live frame into the arena."""
+    """Mapping: fuse or aggregate the live frame into the arena.
+
+    With ``return_active`` the fusion path returns
+    ``(map, (slots, valid, model_img, model_rows_or_None))`` — the
+    4-tuple is normalized so callers need not care whether the dense
+    model-rows carry is enabled.
+    """
     vm, nm, gv, gn, valid = _frame_maps(
         rgb, depth, intrinsics, pose, local_maps
     )
     if opts.fusion:
         H, W = rgb.shape[1:3]
-        return fusion_update_compact(
+        dense = return_active and _resolve_model_rows(
+            opts.model_rows, H, W, map_state.capacity
+        )
+        ret = fusion_update_compact(
             map_state,
             gv,
             gn,
@@ -367,7 +392,14 @@ def _map_update(
             frame_labels=labels,
             merge_window=opts.merge_window,
             assoc_window=opts.assoc_window,
+            dense_model_rows=dense,
         )
+        if not return_active:
+            return ret
+        out, active = ret
+        if len(active) == 3:
+            active = (*active, None)
+        return out, active
     out = aggregate_map_dense(
         map_state, gv, gn, vm, rgb, valid, opts.sigma, frame_labels=labels
     )
@@ -433,6 +465,11 @@ class SLAMState(NamedTuple):
         model_img: (B, H*W) int32 per-pixel model image from the last
             fusion step (arena slot fused at each pixel, CAP = none) —
             the association target for ``opts.assoc == 'projective'``.
+        model_rows: None, or (B, H*W, 7) per-pixel target rows
+            ``[point, normal, valid]`` carried when
+            ``opts.model_rows`` resolves to dense (large arenas) —
+            equals the arena rows at ``model_img`` without the random
+            gather.
     """
 
     map_state: MapState
@@ -441,6 +478,7 @@ class SLAMState(NamedTuple):
     cand_valid: jnp.ndarray
     app_start: jnp.ndarray
     model_img: jnp.ndarray
+    model_rows: Optional[jnp.ndarray] = None
 
 
 def slam_init_state(
@@ -468,7 +506,7 @@ def slam_init_state(
     A = opts.active_capacity or 2 * H * W
     app_start = map_state.num_points
     if opts.fusion:
-        map_state, (slots, valid, model_img) = _map_update(
+        map_state, (slots, valid, model_img, model_rows) = _map_update(
             map_state, pose0, rgb, depth, intrinsics, opts,
             return_active=True, labels=labels,
         )
@@ -479,7 +517,10 @@ def slam_init_state(
         slots = jnp.zeros((B, A), jnp.int32)
         valid = jnp.zeros((B, A), bool)
         model_img = jnp.full((B, H * W), capacity, jnp.int32)
-    return SLAMState(map_state, pose0, slots, valid, app_start, model_img)
+        model_rows = None
+    return SLAMState(
+        map_state, pose0, slots, valid, app_start, model_img, model_rows
+    )
 
 
 def slam_step_state(
@@ -512,6 +553,7 @@ def slam_step_state(
         pose = _localize_projective(
             state.map_state, state.pose, state.model_img,
             rgb, depth, intrinsics, opts, local_maps=local_maps,
+            model_rows=state.model_rows,
         )
     elif opts.fusion and opts.reuse_actives:
         pose = _localize(
@@ -542,7 +584,7 @@ def slam_step_state(
         )
     app_start = state.map_state.num_points
     if opts.fusion:
-        m, (slots, valid, model_img) = _map_update(
+        m, (slots, valid, model_img, model_rows) = _map_update(
             state.map_state, pose, rgb, depth, intrinsics, opts,
             return_active=True, labels=labels, local_maps=local_maps,
         )
@@ -553,7 +595,10 @@ def slam_step_state(
         )
         slots, valid = state.cand_slots, state.cand_valid
         model_img = state.model_img
-    return SLAMState(m, pose, slots, valid, app_start, model_img)
+        model_rows = state.model_rows
+    return SLAMState(
+        m, pose, slots, valid, app_start, model_img, model_rows
+    )
 
 
 _slam_init_state_jit = jax.jit(

@@ -82,12 +82,25 @@ def refresh_slam_state(
         )
         return segi[:HW]
 
-    model_img = jax.vmap(per_batch)(pix, z, active, idx)
+    model_img = jax.vmap(per_batch)(pix, z, active, idx).astype(jnp.int32)
+    model_rows = state.model_rows
+    if model_rows is not None:
+        # dense-carried odometry target rows (opts.model_rows): rebuild
+        # from the compacted arena with one gather (refresh runs once per
+        # segment, not per frame — the random gather is affordable here)
+        rows = jnp.take_along_axis(
+            m.data, jnp.minimum(model_img, CAP - 1)[..., None], axis=1
+        )
+        tval = (model_img < CAP).astype(rows.dtype)
+        model_rows = jnp.concatenate(
+            [rows[..., 0:6], tval[..., None]], axis=-1
+        )
     return state._replace(
         cand_slots=slots,
         cand_valid=valid,
         app_start=m.num_points,
-        model_img=model_img.astype(jnp.int32),
+        model_img=model_img,
+        model_rows=model_rows,
     )
 
 
