@@ -749,18 +749,32 @@ def fusion_update_compact(
     NT = merge_tgt.shape[1]
     wvalid = wslots < CAP
 
-    # winner attributes: ONE wide row gather — always from the ARENA
-    # (bitwise equal to reading the prefix view, but the TPU gather
-    # kernel consumes the arena's channel-major layout directly; reading
-    # the row-major VIEW made layout assignment relayout the whole
-    # arena first, 304 us/frame); the winner's pixel is recomputed from
-    # the gathered position (same math on the same inputs as the value
-    # that won the sort — bitwise identical, and vectorized flops on HW
-    # rows are ~free while an extra payload channel in sort + scatter is
-    # not).
-    maw = jnp.take_along_axis(
-        map_state.data, jnp.minimum(wslots, CAP - 1)[..., None], axis=1
-    )  # (B, HW, 12)
+    # winner attributes: ONE wide row gather. Source selection is
+    # capacity-dependent:
+    #   - small arenas: gather the ARENA directly (bitwise equal to
+    #     reading the prefix view, but the TPU gather kernel consumes the
+    #     arena's channel-major layout directly; reading the row-major
+    #     VIEW made layout assignment relayout the whole arena first,
+    #     304 us/frame at the bench point);
+    #   - large arenas (CAP > 12*H*W, assoc window active): gather the
+    #     WINDOW VIEW — every winner slot is inside the window by
+    #     construction, the view is already materialized for the
+    #     association-side gather, and the full-arena gather degrades
+    #     ~5x once the table outgrows cache (measured 25.8 vs 5.5 ns/row
+    #     at CAP=1.2M — table size, not index order, is what matters:
+    #     tools/diag_sorted_scatter.py).
+    # The winner's pixel is recomputed from the gathered position (same
+    # math on the same inputs as the value that won the sort — bitwise
+    # identical, and vectorized flops on HW rows are ~free while an
+    # extra payload channel in sort + scatter is not).
+    if NT != CAP and CAP > 12 * HW:
+        maw = jnp.take_along_axis(
+            merge_tgt, jnp.minimum(wslots, NT - 1)[..., None], axis=1
+        )  # (B, HW, 12)
+    else:
+        maw = jnp.take_along_axis(
+            map_state.data, jnp.minimum(wslots, CAP - 1)[..., None], axis=1
+        )  # (B, HW, 12)
     mpw, mnw, mcow, mccw = (
         maw[..., 0:3], maw[..., 3:6], maw[..., 6:9], maw[..., 9:10]
     )

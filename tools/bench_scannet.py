@@ -81,6 +81,11 @@ def main():
                     help="assoc_window (-1 auto = 4*H*W, 0 off)")
     ap.add_argument("--merge-window", type=int, default=-1)
     ap.add_argument("--capacity", type=int, default=0, help="0 = L*H*W")
+    ap.add_argument("--active", type=int, default=0,
+                    help="active_capacity override (0 = default 2*H*W); "
+                    "active rows past it are deterministically dropped "
+                    "from association — the accuracy guard below still "
+                    "applies")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--trace", default="")
     ap.add_argument("--managed", action="store_true",
@@ -123,6 +128,7 @@ def main():
         odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True,
         assoc=args.assoc, assoc_window=window,
         merge_window=args.merge_window,
+        active_capacity=args.active or None,
     )
     rgb, dep, Kj = jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(K)
 
