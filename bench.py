@@ -65,7 +65,8 @@ def load_sequence():
     return colors.astype(np.float32), depths.astype(np.float32), K.astype(np.float32)
 
 
-def run_pipeline(assoc="projective", assoc_window=True):
+def run_pipeline(assoc="projective", assoc_window=True, fusion=True,
+                 nbatch=NBATCH):
     import jax
     import jax.numpy as jnp
 
@@ -80,10 +81,10 @@ def run_pipeline(assoc="projective", assoc_window=True):
     # that the map never outgrows it (max num_points <= window) and the
     # result equals the unwindowed program; the headline is only reported
     # for a verified-exact configuration.
-    window = 2 * H * W if assoc_window else 0
+    window = 2 * H * W if (assoc_window and fusion) else 0
     opts = SLAMOptions(
-        odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=True,
-        assoc=assoc, assoc_window=window,
+        odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=fusion,
+        assoc=assoc if fusion else "knn", assoc_window=window,
     )
     capacity = L * H * W
     rgb = jnp.asarray(colors)
@@ -143,7 +144,7 @@ def run_pipeline(assoc="projective", assoc_window=True):
     # contaminated (backend stall / recompile) — drop it and run another,
     # bounded by MAX_BATCHES total attempts.
     clean, all_times = [], []
-    while len(clean) < NBATCH and len(all_times) < MAX_BATCHES:
+    while len(clean) < nbatch and len(all_times) < MAX_BATCHES:
         dt = timed_batch()
         all_times.append(dt)
         fastest = min(all_times)
@@ -201,6 +202,22 @@ def main():
     fps = res["fps"]
     cpu_fps = measure_cpu_baseline()
     vs = fps / cpu_fps if cpu_fps else float("nan")
+    # secondary operating points (3 clean batches each): the
+    # reference-identical KNN association, the exact full-arena
+    # association, and the aggregate (ICPSLAM) pipeline — so each
+    # round's artifact captures the whole matrix and a regression on any
+    # path is localized for free.
+    secondary = {}
+    for key, kw in (
+        ("knn_window_fps", dict(assoc="knn", assoc_window=True)),
+        ("exact_fps", dict(assoc="projective", assoc_window=False)),
+        ("aggregate_fps", dict(fusion=False)),
+    ):
+        try:
+            secondary[key] = run_pipeline(nbatch=3, **kw)["fps"]
+        except Exception as e:  # pragma: no cover - keep headline alive
+            sys.stderr.write(f"secondary point {key} failed: {e}\n")
+            secondary[key] = None
     print(
         json.dumps(
             {
@@ -211,6 +228,10 @@ def main():
                 "batch_fps": res["batch_fps"],
                 "discarded_batches": res["discarded_batches"],
                 "cpu_baseline_fps": cpu_fps,
+                **{
+                    k: (round(v, 1) if v else None)
+                    for k, v in secondary.items()
+                },
             }
         )
     )

@@ -7,6 +7,13 @@ instead.
 """
 
 import os
+import pathlib as _pathlib
+
+# Persistent XLA compilation cache: the suite compiles hundreds of
+# near-identical SLAM programs; caching them on disk makes re-runs (and
+# the second xdist worker) skip the compile entirely. Scoped to the repo
+# so it never pollutes the user's environment; safe to delete anytime.
+_CACHE_DIR = _pathlib.Path(__file__).parent.parent / ".jax_compile_cache"
 
 if not os.environ.get("GRADSLAM_TPU_TEST_REAL"):
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -20,6 +27,9 @@ if not os.environ.get("GRADSLAM_TPU_TEST_REAL"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pathlib
 
