@@ -755,6 +755,12 @@ class ICPSLAM:
             raise ValueError(
                 f"association {assoc!r} not in ('knn', 'projective')"
             )
+        model_rows = kwargs.get("model_rows", "auto")
+        if model_rows not in ("auto", "dense", "gather"):
+            raise ValueError(
+                f"model_rows {model_rows!r} not in ('auto', 'dense', "
+                "'gather')"
+            )
         odom_targets = kwargs.get("odom_targets", "map")
         if odom_targets not in ("map", "recent"):
             raise ValueError(

@@ -199,6 +199,12 @@ class TestAssocWindowOdometry:
         with pytest.raises(ValueError, match="assoc_window"):
             ICPSLAM(odom="gradicp", assoc_window=4096)
 
+    def test_rejects_bad_model_rows(self):
+        with pytest.raises(ValueError, match="model_rows"):
+            PointFusion(odom="gradicp", model_rows="bogus")
+        PointFusion(odom="gradicp", model_rows="dense")
+        PointFusion(odom="gradicp", model_rows="gather")
+
     def test_rejects_assoc_window_with_block_size(self):
         with pytest.raises(ValueError, match="mutually exclusive"):
             PointFusion(
