@@ -66,7 +66,7 @@ def load_sequence():
 
 
 def run_pipeline(assoc="projective", assoc_window=True, fusion=True,
-                 nbatch=NBATCH):
+                 nbatch=NBATCH, window_mult=2):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +81,7 @@ def run_pipeline(assoc="projective", assoc_window=True, fusion=True,
     # that the map never outgrows it (max num_points <= window) and the
     # result equals the unwindowed program; the headline is only reported
     # for a verified-exact configuration.
-    window = 2 * H * W if (assoc_window and fusion) else 0
+    window = window_mult * H * W if (assoc_window and fusion) else 0
     opts = SLAMOptions(
         odom="gradicp", numiters=NUMITERS, dsratio=DSRATIO, fusion=fusion,
         assoc=assoc if fusion else "knn", assoc_window=window,

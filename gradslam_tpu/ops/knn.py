@@ -5,9 +5,12 @@ component — the ``chamferdist`` CUDA KNN used as the data-association core
 of every ICP iteration (reference: gradslam/odometry/icputils.py:3,200).
 
 Design (see /opt/skills/guides/pallas_guide.md):
-  - Distances ``|s - t|^2 = |s|^2 - 2 s.t + |t|^2`` — the cross term is an
-    MXU matmul; ``|t|^2`` is precomputed and carries the validity mask as
-    ``+inf`` so invalid targets never win the argmin.
+  - Distances are EXACT f32 per-coordinate differences on the VPU
+    (``sum_c (t_c - s_c)^2``) — an 8-deep contraction wastes the MXU
+    (8/128 utilization) and the default TPU matmul truncates to bf16,
+    which misranks neighbors (round-4 bug; see _knn_kernel). The
+    precomputed ``|t|^2`` term survives only as the validity carrier:
+    ``+inf`` marks invalid targets so they never win the argmin.
   - Grid over (batch, target-blocks): target blocks stream HBM->VMEM on a
     sequential grid axis with a running (min, argmin) folded into the
     revisited output, so VMEM holds one (TGT_TILE, SRC_TILE) distance
@@ -52,11 +55,15 @@ def knn_reference(
     O(S*T) memory — fine for tests and small problems; the Pallas kernel
     below tiles the same computation for real sizes.
     """
-    # (B, S, T) squared distances
-    d = (
-        jnp.sum(src * src, axis=-1)[..., :, None]
-        - 2.0 * jnp.einsum("bsc,btc->bst", src, tgt)
-        + jnp.sum(tgt * tgt, axis=-1)[..., None, :]
+    # (B, S, T) squared distances, EXACT f32 per-coordinate differences —
+    # the same formulation (and therefore bitwise the same values and
+    # tie-breaks) as the Pallas kernel and as the reference's chamferdist
+    # CUDA kernel. The expansion form (snorm - 2 s.t + tnorm) was
+    # rejected twice: on TPU the cross-term matmul runs in bf16 by
+    # default and misranks neighbors (round-4 bug), and even at f32 its
+    # cancellation rounding differs from the difference form at ties.
+    d = jnp.sum(
+        (src[:, :, None, :] - tgt[:, None, :, :]) ** 2, axis=-1
     )
     if tgt_valid is not None:
         d = jnp.where(tgt_valid[:, None, :], d, jnp.inf)
@@ -78,10 +85,8 @@ def _knn_kernel(
     instance, no XLA-side chunk combines).
 
     Ref shapes: srcT (1, 8, S) (constant over the target axis — Mosaic
-    skips the re-copy), tgt (1, TT, 8), tnorm (1, TT, 1), outputs
-    (1, 1, S) revisited across target steps. Output dist holds the raw
-    ``tnorm - 2 s.t`` best until the LAST step adds ``|s|^2`` (a constant
-    per source, so the running comparison order is unaffected).
+    skips the re-copy), tgt (1, TT, 8), tnorm (1, TT, 1) (validity mask
+    only), outputs (1, 1, S) revisited across target steps.
     """
     t = pl.program_id(1)
     S = srcT_ref.shape[2]
@@ -91,9 +96,26 @@ def _knn_kernel(
     def s_body(si, _):
         srcT = srcT_ref[0, :, pl.ds(si * ST, ST)]  # (8, ST); rows 3..7 zero
         tgt_tile = tgt_ref[0]  # (TT, 8)
-        # cross term on the MXU: (TT, 8) @ (8, ST)
-        G = jnp.dot(tgt_tile, srcT, preferred_element_type=jnp.float32)
-        d = tnorm_ref[0] - 2.0 * G  # (TT, ST)
+        # EXACT f32 distances via per-coordinate broadcast differences on
+        # the VPU: d = sum_c (t_c - s_c)^2. The original MXU formulation
+        # (tnorm - 2 t.s + snorm) ran the cross term in the TPU's default
+        # bf16 matmul precision — the ~2^-8 relative error (~0.08 at
+        # metre scale) exceeds nearest-neighbor distance gaps at dsratio-4
+        # cloud spacing and silently misranked ~15% of neighbors
+        # (measured on the real chip: the fused map doubled, 65k vs 37k
+        # rows, via 0.39 deg of odometry rotation error). f32 MXU
+        # (precision=HIGHEST) fixes exactness but costs 6 bf16 passes on
+        # an 8-deep contraction that uses 8/128 of the systolic array —
+        # the 3 VPU multiply-adds per element are exact AND faster
+        # (207 -> 279 fps at the bench KNN operating point; the pre-fix
+        # bf16 kernel's 354 was fast but wrong).
+        d = (
+            (tgt_tile[:, 0:1] - srcT[0:1, :]) ** 2
+            + (tgt_tile[:, 1:2] - srcT[1:2, :]) ** 2
+            + (tgt_tile[:, 2:3] - srcT[2:3, :]) ** 2
+        )  # (TT, ST)
+        # validity/padding arrives as tnorm = +inf (prepare_targets)
+        d = jnp.where(jnp.isinf(tnorm_ref[0]), jnp.inf, d)
         tile_min = jnp.min(d, axis=0)  # (ST,)
         tile_arg = jnp.argmin(d, axis=0).astype(jnp.int32) + t * TT
         prev_d = jnp.where(
@@ -107,8 +129,6 @@ def _knn_kernel(
         better = tile_min < prev_d  # strict: earlier block keeps ties
         best_d = jnp.where(better, tile_min, prev_d)
         best_i = jnp.where(better, tile_arg, prev_i)
-        snorm = jnp.sum(srcT * srcT, axis=0)  # (ST,)
-        best_d = jnp.where(t == n_tblocks - 1, best_d + snorm, best_d)
         dist_ref[0, 0, pl.ds(si * ST, ST)] = best_d
         idx_ref[0, 0, pl.ds(si * ST, ST)] = best_i
         return 0

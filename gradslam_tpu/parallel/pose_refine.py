@@ -286,10 +286,46 @@ def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
     """
     N = obs_pose.shape[0]
     idx = jnp.arange(N)
+    # MXU formulation for small-to-medium L: accumulate pair blocks with
+    # one-hot matmuls, S_ab += P^T (A_ab * Q) where P/Q one-hot-encode
+    # the pose indices of the two pair members. The scatter-add
+    # formulation costs ~45 ns per (N,6,6) row PER OFFSET STEP (the
+    # measured v5e 2D scatter floor — ~500 of 865 ms/GN-iter at
+    # L=64/N=6e5, tools/bench_ba.py round 4); the matmul costs
+    # 36*2*N*L^2 FLOPs on the MXU and XLA fuses the one-hot multiply
+    # into the dot_general. The trade crosses back to the scatter around
+    # L ~ 150-200 (FLOPs grow with L^2, the scatter does not).
+    use_matmul = L <= 128
+    if use_matmul:
+        P = (
+            obs_pose[:, None] == jnp.arange(L, dtype=obs_pose.dtype)[None]
+        ).astype(V.dtype)  # (N, L)
+
+    def _pair_accumulate(Pm, Qm, A):
+        """sum_n Pm[n,p] A[n,a,b] Qm[n,q] -> (L,6,L,6) via 36 batched
+        MXU matmuls (one per 6x6 block entry). The per-entry one-hot
+        multiply feeds the dot_general directly so XLA fuses it into the
+        operand load — no (N, 36, L) intermediate is materialized."""
+        A36 = jnp.transpose(A.reshape(A.shape[0], 36), (1, 0))  # (36, N)
+
+        def per_entry(col):
+            return jax.lax.dot_general(
+                Pm,
+                Qm * col[:, None],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=_HIGH,
+            )  # (L, L)
+
+        S36 = jax.vmap(per_entry)(A36)  # (36, L, L)
+        return jnp.transpose(S36.reshape(6, 6, L, L), (2, 0, 3, 1))
+
     # d = 0: every observation pairs with itself
     A0 = jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH)  # (N, 6, 6)
-    S = jnp.zeros((L, 6, L, 6), dtype=V.dtype)
-    S = S.at[obs_pose, :, obs_pose, :].add(A0)
+    if use_matmul:
+        S = _pair_accumulate(P, P, A0)  # (L, 6, L, 6)
+    else:
+        S = jnp.zeros((L, 6, L, 6), dtype=V.dtype)
+        S = S.at[obs_pose, :, obs_pose, :].add(A0)
 
     def body(d, S):
         # pair (n, n+d), matched by rolling the sorted arrays; rows whose
@@ -302,9 +338,15 @@ def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
             jnp.einsum("nac,nbc->nab", V, W_s, precision=_HIGH)
             * valid[:, None, None]
         )
+        if use_matmul:
+            Q = (
+                pose_s[:, None] == jnp.arange(L, dtype=pose_s.dtype)[None]
+            ).astype(V.dtype)
+            C = _pair_accumulate(P, Q, A)
+            # (n+d, n) block = transpose of (n, n+d): V_m W_n^T =
+            # (V_n W_m^T)^T because Hll^-1 is symmetric.
+            return S + C + jnp.transpose(C, (2, 3, 0, 1))
         S = S.at[obs_pose, :, pose_s, :].add(A)
-        # (n+d, n) block = transpose of (n, n+d): V_m W_n^T = (V_n W_m^T)^T
-        # because Hll^-1 is symmetric.
         S = S.at[pose_s, :, obs_pose, :].add(jnp.swapaxes(A, -1, -2))
         return S
 

@@ -41,6 +41,23 @@ class TestPallasKNN:
         np.testing.assert_allclose(
             np.asarray(d_pal), np.asarray(d_ref), atol=1e-5
         )
+        # INDEPENDENT float64 numpy oracle: kernel and reference once
+        # agreed exactly while BOTH ranked neighbors in bf16 (the default
+        # TPU matmul truncates inputs; caught in round 4 when the fused
+        # map doubled). Same-precision agreement is not evidence — the
+        # kernel's best distance must also match the f64 truth.
+        s64 = np.asarray(src, dtype=np.float64)
+        t64 = np.asarray(tgt, dtype=np.float64)
+        v = np.asarray(valid)
+        d64 = (
+            (s64**2).sum(-1)[:, :, None]
+            - 2.0 * np.einsum("bsc,btc->bst", s64, t64)
+            + (t64**2).sum(-1)[:, None, :]
+        )
+        d64 = np.where(v[:, None, :], d64, np.inf)
+        np.testing.assert_allclose(
+            np.asarray(d_pal), d64.min(axis=-1), atol=1e-4
+        )
 
     def test_unpadded_tile_sizes(self, jnp):
         from gradslam_tpu.ops import knn, knn_reference
