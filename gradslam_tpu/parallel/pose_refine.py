@@ -266,6 +266,94 @@ def _ba_linearize(poses, landmarks, obs_pose, obs_lm, obs_pts, weights):
     return jax.vmap(per_obs)(T_p, X_l, obs_pts, weights)
 
 
+_POSE_MATMUL_MAX_L = 128
+
+
+def _one_hot_poses(obs_pose, L, dtype):
+    """(N, L) one-hot pose encoding (fused into matmul operand loads)."""
+    return (
+        obs_pose[:, None] == jnp.arange(L, dtype=obs_pose.dtype)[None]
+    ).astype(dtype)
+
+
+def _pose_sum(vals, obs_pose, L, P=None):
+    """Sums per-observation rows into per-pose bins: (N, ...) -> (L, ...).
+
+    For L <= _POSE_MATMUL_MAX_L this is ONE one-hot MXU matmul
+    (P^T @ vals) instead of a scatter-add — the scatter costs the
+    ~45-75 ns/row floor per observation regardless of L, while the
+    skinny matmul is bandwidth-trivial (measured on the BA bench,
+    docs/PERFORMANCE.md round 4). Past the gate the (N, L) one-hot
+    would not be worth materializing; the scatter path stands.
+    """
+    N = vals.shape[0]
+    flat = vals.reshape(N, -1)
+    if L <= _POSE_MATMUL_MAX_L:
+        if P is None:
+            P = _one_hot_poses(obs_pose, L, vals.dtype)
+        out = jax.lax.dot_general(
+            P, flat, (((0,), (0,)), ((), ())), precision=_HIGH
+        )
+    else:
+        out = jnp.zeros((L, flat.shape[1]), vals.dtype).at[obs_pose].add(
+            flat
+        )
+    return out.reshape((L,) + vals.shape[1:])
+
+
+def _landmark_segments(obs_lm, M):
+    """Loop-invariant prep for :func:`_landmark_sum_sorted`.
+
+    Observations must be SORTED by landmark. Returns
+    ``(boundary (N,) bool, last_of_lm (M,) int32)`` — segment-start
+    flags and, per landmark, the index of its LAST observation
+    (sentinel N for landmarks with no observations). One s32 scatter;
+    hoist it out of iteration loops (it depends only on ``obs_lm``).
+    """
+    N = obs_lm.shape[0]
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), obs_lm[1:] != obs_lm[:-1]]
+    )
+    last = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    rowix = jnp.arange(N, dtype=jnp.int32)
+    last_of_lm = (
+        jnp.full((M,), N, jnp.int32)
+        .at[jnp.where(last, obs_lm, M)]
+        .set(rowix, mode="drop")
+    )
+    return boundary, last_of_lm
+
+
+def _landmark_sum_sorted(vals, boundary, last_of_lm):
+    """Per-landmark segment sum over SORTED observations:
+    (N, ...) -> (M, ...).
+
+    Segmented Hillis-Steele inclusive scan (value resets at segment
+    boundaries — summation stays within-segment, no cancellation) +
+    one M-row gather at each segment's last row; replaces the
+    scatter-add at the ~45 ns/source-row floor with ~log2(N) fused
+    elementwise passes (the ops/voxel.py pattern, measured there and on
+    the BA bench).
+    """
+    N = vals.shape[0]
+    flat = vals.reshape(N, -1)
+    scan_vals, f = flat, boundary
+    d = 1
+    while d < N:
+        vs = jnp.pad(scan_vals[:-d], ((d, 0), (0, 0)))
+        fs = jnp.pad(f[:-d], (d, 0), constant_values=True)
+        scan_vals = scan_vals + jnp.where(f[:, None], 0.0, vs)
+        f = f | fs
+        d *= 2
+    M = last_of_lm.shape[0]
+    has = last_of_lm < N
+    out = jnp.take_along_axis(
+        scan_vals, jnp.minimum(last_of_lm, N - 1)[:, None], axis=0
+    )
+    out = jnp.where(has[:, None], out, 0.0)
+    return out.reshape((M,) + vals.shape[1:])
+
+
 def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
     """Pose-pose Schur coupling sum_l U_l Hll^-1 U_l^T as (L, 6, L, 6).
 
@@ -353,17 +441,29 @@ def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
     return jax.lax.fori_loop(1, min(k_max, N), body, S)
 
 
-def _coupling_matvec(x, obs_pose, obs_lm, W_obs, Hll_inv, M):
+def _coupling_matvec(
+    x, obs_pose, obs_lm, W_obs, Hll_inv, M, P=None, segs=None
+):
     """(U Hll^-1 U^T) x without materializing the (L,6,L,6) coupling.
 
     O(N) per application: gather x by pose, per-landmark segment-sum,
-    3x3 block solve, scatter back by pose.
+    3x3 block solve, reduce back by pose. The two per-observation
+    reductions use the segmented-scan / one-hot-matmul formulations
+    (:func:`_landmark_sum_sorted`, :func:`_pose_sum`) when the
+    loop-invariant prep (``P``, ``segs``) is supplied — inside CG these
+    run every iteration, and the scatter-add floor dominated the solve
+    (round-4 BA bench).
     """
     L = x.shape[0]
     t = jnp.einsum("nab,na->nb", W_obs, x[obs_pose], precision=_HIGH)  # (N,3)
-    s = jnp.zeros((M, 3), dtype=x.dtype).at[obs_lm].add(t)
+    if segs is not None:
+        s = _landmark_sum_sorted(t, *segs)
+    else:
+        s = jnp.zeros((M, 3), dtype=x.dtype).at[obs_lm].add(t)
     y = jnp.einsum("mab,mb->ma", Hll_inv, s, precision=_HIGH)  # (M, 3)
     c = jnp.einsum("nab,nb->na", W_obs, y[obs_lm], precision=_HIGH)  # (N,6)
+    if P is not None or L <= _POSE_MATMUL_MAX_L:
+        return _pose_sum(c, obs_pose, L, P=P)
     return jnp.zeros((L, 6), dtype=x.dtype).at[obs_pose].add(c)
 
 
@@ -459,24 +559,39 @@ def _ba_iteration(
     """
     L = poses.shape[0]
     M = landmarks.shape[0]
+    N = obs_pose.shape[0]
 
     r, Jp, Jl = _ba_linearize(
         poses, landmarks, obs_pose, obs_lm, obs_pts, weights
     )
 
-    Hcc = jnp.zeros((L, 6, 6), dtype=poses.dtype)
-    Hll = jnp.zeros((M, 3, 3), dtype=poses.dtype)
-    bc = jnp.zeros((L, 6), dtype=poses.dtype)
-    bl = jnp.zeros((M, 3), dtype=poses.dtype)
+    # Loop-invariant reduction prep (obs_lm/obs_pose are fixed inputs):
+    # segment boundaries for the sorted-by-landmark sums and the one-hot
+    # pose encoding. The per-observation reductions then run as
+    # segmented scans / skinny MXU matmuls instead of scatter-adds at
+    # the ~45 ns/source-row floor (round-4 BA bench: this floor WAS the
+    # solver cost).
+    segs = _landmark_segments(obs_lm, M)
+    P = (
+        _one_hot_poses(obs_pose, L, poses.dtype)
+        if L <= _POSE_MATMUL_MAX_L
+        else None
+    )
 
-    Hcc = Hcc.at[obs_pose].add(
-        jnp.einsum("nab,nac->nbc", Jp, Jp, precision=_HIGH)
+    # landmark-indexed sums in ONE pass: [Jl^T Jl (9) | Jl^T r (3)]
+    lm_vals = jnp.concatenate(
+        [
+            jnp.einsum("nab,nac->nbc", Jl, Jl, precision=_HIGH).reshape(
+                N, 9
+            ),
+            jnp.einsum("nab,na->nb", Jl, r, precision=_HIGH),
+        ],
+        axis=-1,
     )
-    Hll = Hll.at[obs_lm].add(
-        jnp.einsum("nab,nac->nbc", Jl, Jl, precision=_HIGH)
-    )
-    bc = bc.at[obs_pose].add(jnp.einsum("nab,na->nb", Jp, r, precision=_HIGH))
-    bl = bl.at[obs_lm].add(jnp.einsum("nab,na->nb", Jl, r, precision=_HIGH))
+    lm_sums = _landmark_sum_sorted(lm_vals, *segs)  # (M, 12)
+    Hll = lm_sums[:, 0:9].reshape(M, 3, 3)
+    bl = lm_sums[:, 9:12]
+
     W_obs = jnp.einsum("nab,nac->nbc", Jp, Jl, precision=_HIGH)  # (N, 6, 3)
 
     # invert landmark blocks (damped). Sharded: local Hll is COMPLETE for
@@ -488,11 +603,23 @@ def _ba_iteration(
 
     V = jnp.einsum("nab,nbc->nac", W_obs, Hll_inv[obs_lm], precision=_HIGH)
 
-    # rhs coupling: rhs_p -= sum_{n: pose p} V_n bl[lm_n]
-    coup = jnp.zeros((L, 6), dtype=poses.dtype)
-    coup = coup.at[obs_pose].add(
-        jnp.einsum("nab,nb->na", V, bl[obs_lm], precision=_HIGH)
+    # pose-indexed sums in ONE pass:
+    # [Jp^T Jp (36) | Jp^T r (6) | V bl[lm] (6)]
+    pose_vals = jnp.concatenate(
+        [
+            jnp.einsum("nab,nac->nbc", Jp, Jp, precision=_HIGH).reshape(
+                N, 36
+            ),
+            jnp.einsum("nab,na->nb", Jp, r, precision=_HIGH),
+            jnp.einsum("nab,nb->na", V, bl[obs_lm], precision=_HIGH),
+        ],
+        axis=-1,
     )
+    pose_sums = _pose_sum(pose_vals, obs_pose, L, P=P)  # (L, 48)
+    Hcc = pose_sums[:, 0:36].reshape(L, 6, 6)
+    bc = pose_sums[:, 36:42]
+    # rhs coupling: rhs_p -= sum_{n: pose p} V_n bl[lm_n]
+    coup = pose_sums[:, 42:48]
 
     eye6 = jnp.eye(6, dtype=poses.dtype)
     anchor = jnp.zeros((L, 1, 1), poses.dtype).at[0].set(1.0) * (
@@ -519,9 +646,9 @@ def _ba_iteration(
     else:  # pcg — matrix-free reduced camera system
         # 6x6 pose-diagonal of S (self-pair d=0 terms only) for the
         # block-Jacobi preconditioner.
-        diag_self = jnp.zeros((L, 6, 6), dtype=poses.dtype)
-        diag_self = diag_self.at[obs_pose].add(
-            jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH)
+        diag_self = _pose_sum(
+            jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH),
+            obs_pose, L, P=P,
         )
         diag_S = Hcc - diag_self
         if axis is not None:
@@ -534,7 +661,9 @@ def _ba_iteration(
 
         def matvec(x):
             hx = jnp.einsum("lbc,lc->lb", Hcc, x, precision=_HIGH)
-            cx = _coupling_matvec(x, obs_pose, obs_lm, W_obs, Hll_inv, M)
+            cx = _coupling_matvec(
+                x, obs_pose, obs_lm, W_obs, Hll_inv, M, P=P, segs=segs
+            )
             part = hx - cx
             if axis is not None:
                 part = jax.lax.psum(part, axis)
