@@ -646,11 +646,20 @@ def _ba_iteration(
     else:  # pcg — matrix-free reduced camera system
         # 6x6 pose-diagonal of S (self-pair d=0 terms only) for the
         # block-Jacobi preconditioner.
-        diag_self = _pose_sum(
-            jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH),
+        # Per-observation difference BEFORE the reduction: Hcc and the
+        # self-coupling are each ~1e5-magnitude sums whose difference is
+        # damping-scale small — reducing them separately (two
+        # independently-rounded 600k-element sums) leaves noise larger
+        # than the difference, the block-Jacobi blocks can go indefinite,
+        # and the guarded CG iterations freeze at an unconverged point
+        # (observed on the real chip at M=1e5: pose_shift 0.014 vs the
+        # dense solver's 0.001). Summing the per-observation difference
+        # keeps the cancellation exact.
+        diag_S = _pose_sum(
+            jnp.einsum("nab,nac->nbc", Jp, Jp, precision=_HIGH)
+            - jnp.einsum("nac,nbc->nab", V, W_obs, precision=_HIGH),
             obs_pose, L, P=P,
         )
-        diag_S = Hcc - diag_self
         if axis is not None:
             diag_S = jax.lax.psum(diag_S, axis)
             bc = jax.lax.psum(bc, axis)
