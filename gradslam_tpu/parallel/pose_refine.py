@@ -892,6 +892,15 @@ def partition_observations_by_landmark(obs_pose, obs_lm, obs_pts, weights, n):
             out_pts[s, o : o + c] = obs_pts[sl]
             out_w[s, o : o + c] = weights[sl]
             o += c
+        # Padding rows carry the shard's LAST owned landmark id (not 0):
+        # each shard's observation list must stay SORTED by landmark for
+        # the segmented-scan reductions — a trailing run of lm 0 would
+        # form a bogus segment whose scan total (zero) OVERWRITES
+        # landmark 0's real sums on its owner shard. With the last owned
+        # id, the zero-weight pads join the final real segment and
+        # contribute nothing.
+        if o and o < Ns:
+            out_lm[s, o:] = out_lm[s, o - 1]
     return out_pose, out_lm, out_pts, out_w, k_max
 
 

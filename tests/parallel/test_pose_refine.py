@@ -334,6 +334,57 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(shard_p), gt_p, atol=1e-2)
         np.testing.assert_allclose(np.asarray(shard_l), gt_l, atol=1e-2)
 
+    def test_matches_single_device_ragged_observations(self):
+        """RAGGED per-landmark observation counts force unequal shards
+        and therefore PADDED shard tails. Regression for a round-4 bug:
+        pads carried obs_lm = 0, breaking the sorted-by-landmark
+        invariant the segmented-scan reductions rely on — landmark 0's
+        sums were overwritten by the bogus trailing pad segment on its
+        owner shard."""
+        from gradslam_tpu.parallel import make_mesh
+        from gradslam_tpu.parallel.pose_refine import (
+            ba_refine_sharded,
+            partition_observations_by_landmark,
+        )
+
+        rng = np.random.RandomState(3)
+        gt_p, gt_l, ip, il, op, ol, opts = make_ba_problem(
+            rng, L=6, M=48, obs_per_lm=5
+        )
+        # drop a random subset of observations -> ragged counts (keep at
+        # least one obs of every landmark, incl. landmark 0)
+        keep = rng.rand(len(ol)) > 0.4
+        keep[np.searchsorted(ol, np.arange(48))] = True
+        op, ol, opts = op[keep], ol[keep], opts[keep]
+
+        # the partition must actually pad some shard, and every shard's
+        # obs must stay sorted by landmark (the scan invariant)
+        sp, sl, spts, sw, k_max = partition_observations_by_landmark(
+            op, ol, opts, np.ones(len(ol), np.float32),
+            len(jax.devices()),
+        )
+        assert (sw == 0).any(), "test problem produced no padding"
+        for s in range(sl.shape[0]):
+            assert (np.diff(sl[s]) >= 0).all(), f"shard {s} not sorted"
+
+        single_p, single_l = ba_refine(
+            jnp.asarray(ip), jnp.asarray(il), jnp.asarray(op),
+            jnp.asarray(ol), jnp.asarray(opts),
+            num_iters=6, damping=1e-6, max_obs_per_landmark=k_max,
+        )
+        mesh = make_mesh(data=len(jax.devices()), map_=1)
+        shard_p, shard_l = ba_refine_sharded(
+            jnp.asarray(ip), jnp.asarray(il), jnp.asarray(op),
+            jnp.asarray(ol), jnp.asarray(opts), mesh,
+            num_iters=6, damping=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(shard_p), np.asarray(single_p), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(shard_l), np.asarray(single_l), atol=1e-4
+        )
+
     def test_scales_to_many_landmarks(self):
         """M >= 1e4: the dense (M, L, 6, 3) coupling of the old
         implementation would be 2 * 10^4 * 12 * 18 floats ~ 35 MB per
