@@ -45,6 +45,7 @@ MODULES = [
     "gradslam_tpu.datasets.scannet",
     "gradslam_tpu.datasets.datautils",
     "gradslam_tpu.datasets.dataloader",
+    "gradslam_tpu.datasets.synth",
     "gradslam_tpu.parallel.mesh",
     "gradslam_tpu.parallel.sharded",
     "gradslam_tpu.parallel.seqpar",
