@@ -245,9 +245,12 @@ class TestTUMEndToEnd:
         got = ds[0][1][..., 0]
         np.testing.assert_allclose(got, depths, atol=1.01 / 5000.0)
 
-
-class TestScannetEndToEnd:
-    def test_files_to_ate(self, scannet_tree):
+    # NOTE: the ScanNet chain lives in the SAME class as the TUM chain
+    # on purpose: xdist loadscope schedules per class, and both chains
+    # compile identical-shape managed+closure programs — co-location
+    # lets the second chain reuse the first's in-process jit cache
+    # (halves the cold compile bill for this module).
+    def test_scannet_files_to_ate(self, scannet_tree):
         """ScanNet tree on disk (metadata txt, per-frame pose/intrinsics/
         label files, JPEG color, 16-bit depth) -> DataLoader -> managed
         SLAM -> loop closure -> millimeter ATE."""
@@ -271,6 +274,8 @@ class TestScannetEndToEnd:
             assert labels.shape == (1, N_FRAMES, H, W, 1)
         ates = _run_chain(batches, gt)
         assert ates.max() < 5e-3, f"ATE too large: {ates}"
+
+
 
 
 @pytest.fixture(scope="module")

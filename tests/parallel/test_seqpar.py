@@ -13,12 +13,15 @@ from gradslam_tpu.slam.icpslam import SLAMOptions, slam_sequence
 
 @pytest.fixture(scope="module")
 def seq(msrd_data):
-    """Golden clip extended to 7 frames by cycling (B=1 for speed)."""
+    """Golden clip extended to 7 frames by cycling (B=1, HALF RESOLUTION
+    — these are self-consistency tests against their own direct run, so
+    resolution does not change what they prove; compile+run cost does)."""
     idx = [0, 1, 2, 1, 0, 1, 2]
-    colors = jnp.asarray(msrd_data["colors"][:1, idx])
-    depths = jnp.asarray(msrd_data["depths"][:1, idx])
-    K = jnp.asarray(msrd_data["intrinsics"][:1])
-    return colors, depths, K
+    colors = jnp.asarray(msrd_data["colors"][:1, idx, ::2, ::2])
+    depths = jnp.asarray(msrd_data["depths"][:1, idx, ::2, ::2])
+    K = np.asarray(msrd_data["intrinsics"][:1]).copy()
+    K[:, :, :2] /= 2
+    return colors, depths, jnp.asarray(K)
 
 
 OPTS = SLAMOptions(odom="gradicp", numiters=10, dsratio=4, fusion=True)
