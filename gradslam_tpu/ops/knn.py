@@ -73,7 +73,7 @@ def knn_reference(
 
 
 def _knn_kernel(
-    srcT_ref, tgt_ref, tnorm_ref, dist_ref, idx_ref, *, s_tiles, n_tblocks
+    srcT_ref, tgt_ref, tnorm_ref, dist_ref, idx_ref, *, s_tiles
 ):
     """One grid step: one (TGT_TILE, 8) target block against all sources.
 
@@ -148,9 +148,7 @@ def _knn_pallas(src, tgt, tnorm, src_tile=_SRC_TILE, tgt_tile=_TGT_TILE):
     tgt8 = jnp.pad(tgt, ((0, 0), (0, 0), (0, 5)))  # (B, T, 8)
     tnorm2 = tnorm[..., None]  # (B, T, 1)
 
-    kernel = functools.partial(
-        _knn_kernel, s_tiles=S // src_tile, n_tblocks=n_tblocks
-    )
+    kernel = functools.partial(_knn_kernel, s_tiles=S // src_tile)
     dist, idx = pl.pallas_call(
         kernel,
         out_shape=(

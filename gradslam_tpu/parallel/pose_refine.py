@@ -383,7 +383,7 @@ def _schur_coupling(L, obs_pose, obs_lm, V, W_obs, k_max):
     # 36*2*N*L^2 FLOPs on the MXU and XLA fuses the one-hot multiply
     # into the dot_general. The trade crosses back to the scatter around
     # L ~ 150-200 (FLOPs grow with L^2, the scatter does not).
-    use_matmul = L <= 128
+    use_matmul = L <= _POSE_MATMUL_MAX_L
     if use_matmul:
         P = (
             obs_pose[:, None] == jnp.arange(L, dtype=obs_pose.dtype)[None]

@@ -694,10 +694,12 @@ def fusion_update_compact(
         # TRIED AND REJECTED (round 4): re-sorting winner slots ascending
         # before the winner-row gather (hypothesis: sequential reads of
         # the big planar arena beat random ones). Measured NO index-order
-        # effect on v5e at CAP=1.2M — 12-ch row gathers run ~9 ns/row and
+        # effect on v5e at CAP=1.2M — 12-ch row gathers run ~30 ns/row and
         # row scatters ~128 ns/row for random AND sorted indices
-        # (tools/diag_sorted_scatter.py) — so the extra HW-row sort was a
-        # pure ~0.5 ms loss (68.3 vs 69.6 fps at the ScanNet point).
+        # (tools/diag_sorted_scatter.py, round-5 re-run after fixing a
+        # LICM bug that understated the gather as ~9 ns/row) — so the
+        # extra HW-row sort was a pure ~0.5 ms loss (68.3 vs 69.6 fps at
+        # the ScanNet point).
         return arena_slot, avalid, wslots
 
     merge_tgt = None  # None -> merge into the full arena
@@ -760,9 +762,10 @@ def fusion_update_compact(
     #     WINDOW VIEW — every winner slot is inside the window by
     #     construction, the view is already materialized for the
     #     association-side gather, and the full-arena gather degrades
-    #     ~5x once the table outgrows cache (measured 25.8 vs 5.5 ns/row
-    #     at CAP=1.2M — table size, not index order, is what matters:
-    #     tools/diag_sorted_scatter.py).
+    #     once the table outgrows cache (trace: 25.8 vs 5.5 ns/row at
+    #     CAP=1.2M; microbench with full random permutations: 30.3 vs
+    #     13.9 ns/row at 1.2M vs 307k rows — table size, not index
+    #     order, is what matters: tools/diag_sorted_scatter.py).
     # The winner's pixel is recomputed from the gathered position (same
     # math on the same inputs as the value that won the sort — bitwise
     # identical, and vectorized flops on HW rows are ~free while an

@@ -39,6 +39,18 @@ import pytest
 DATA_DIR = pathlib.Path(__file__).parent / "data"
 
 
+def pytest_configure(config):
+    # Real-TPU runs must be serial: the attached chip is single-tenant and
+    # two xdist workers would race it (pyproject addopts default to -n 2
+    # for the CPU suite). Conftest hooks run before plugin hooks, so
+    # zeroing the option here disables xdist before it activates.
+    if os.environ.get("GRADSLAM_TPU_TEST_REAL") and getattr(
+        config.option, "numprocesses", None
+    ):
+        config.option.numprocesses = 0
+        config.option.dist = "no"
+
+
 @pytest.fixture(scope="session")
 def msrd_data():
     """Golden RGB-D fixture: B=2, L=3, 120x160 clip with precomputed maps.

@@ -24,6 +24,9 @@ REPS = 20
 
 
 def main():
+    global CAP
+    if len(sys.argv) > 1:
+        CAP = int(sys.argv[1])
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +47,15 @@ def main():
         return jax.lax.fori_loop(0, REPS, body, d).sum()
 
     def gather_loop(d, idx, r):
+        # The index must be GENUINELY iteration-dependent: an earlier
+        # `idx + i * 0` folded to `idx` under XLA's algebraic simplifier,
+        # letting while-loop LICM hoist the gather so the loop measured
+        # ~1 gather instead of REPS (advisor finding, round 4).
+        # (idx + i) % CAP keeps the same distribution (random stays
+        # random; sorted stays sorted up to one wrap point).
         def body(i, acc):
-            g = jnp.take_along_axis(d, (idx + i * 0) [..., None], axis=1)
+            sh = jnp.remainder(idx + i, CAP)
+            g = jnp.take_along_axis(d, sh[..., None], axis=1)
             return acc + g.sum()
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
 
