@@ -483,6 +483,211 @@ def _resolve_assoc_window(assoc_window, capacity: int):
     return min(assoc_window, capacity) if assoc_window < capacity else None
 
 
+def _fusion_window_dense(
+    map_state: MapState,
+    view: jnp.ndarray,
+    live: jnp.ndarray,
+    frame_attr: jnp.ndarray,
+    valid_depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    dist_th: float,
+    dot_th: float,
+    H: int,
+    W: int,
+    A: int,
+    compact: bool,
+    has_labels: bool,
+    return_active: bool,
+    dense_model_rows: bool,
+):
+    """Capacity-windowed fusion with a DENSE merge over the view rows.
+
+    Produces bitwise-identical results to the row-compacted window path
+    in :func:`fusion_update_compact` (same winners, same merge math, same
+    appends — pinned by ``TestDenseWindowMergeEquivalence``), but
+    restructured so that per-frame cost is dominated by ONE wide frame
+    gather and the winner sort instead of five gathers and three
+    scatters. Measured motivation (v5e per-HLO trace at 240x320 / L=16 /
+    CAP=1.2M, docs/PERFORMANCE.md round 5):
+
+      - The row path materializes winner rows compactly (``mrows``) and
+        writes them back by inverting the slot map: winner-row gather
+        (0.85 ms) + winner frame gather (1.95 ms) + rank scatter
+        (0.71 ms) + an mrows gather over EVERY view row (3.59 ms) + the
+        model-rows carry's rank scatter + gather (1.6 ms).
+      - Here the merge result is instead computed DENSELY per view row
+        from the row's own attributes and the frame attributes at its
+        own projected pixel — the identical math the winner rows would
+        compute, valid precisely at winner rows — and selected under the
+        winner mask. All five gathers/scatters above collapse into one
+        dense elementwise pass plus two sorted-space scatters; the price
+        is gathering frame attributes for ALL view rows instead of the
+        compacted active set (NT vs A rows).
+
+    Winner masks come straight from SORTED space: winners are the first
+    row of each pixel group after the 4-key sort, so one scatter of
+    ``slot_sorted`` under the winner mask yields the per-row winner mask,
+    and one scatter of it by pixel yields the model image — no
+    rank-compacted ``wslots`` buffer at all.
+    """
+    B, NT, C = view.shape
+    CAP = map_state.capacity
+    HW = H * W
+
+    from ..ops.masking import compact_masked
+
+    # ---- dense association over the view --------------------------------
+    h, w, active = _project_points_to_frame(
+        view[..., 0:3], live, pose, intrinsics, H, W
+    )
+    pix = (h * W + w).astype(jnp.int32)  # (B, NT)
+    fa = jnp.take_along_axis(frame_attr, pix[..., None], axis=1)
+    fp, fn = fa[..., 0:3], fa[..., 3:6]
+    mp, mn = view[..., 0:3], view[..., 3:6]
+    gated = (
+        active
+        & are_points_close(fp, mp, dist_th)
+        & are_normals_similar(fn, mn, dot_th)
+    )
+    ray = jnp.sum((mp - fp) ** 2, axis=-1)  # (B, NT)
+    cc1 = view[..., 9]
+
+    # Sort keys, all carried as s32: pix and slot natively; -cc and ray
+    # through the monotone IEEE-754 bits map (for non-NaN f32, flipping
+    # the magnitude bits of negatives makes signed-int order equal float
+    # order; -0.0 maps below +0.0, which never arises here — cc is a sum
+    # of non-negative alphas, ray a sum of squares). One dtype lets the
+    # compacted path fetch all four keys with ONE 4-channel row gather,
+    # and the all-s32 comparator sorts measurably faster than mixed
+    # s32/f32 keys (which in turn beat all-f32 by ~25% — measured v5e).
+    def _f32_sortable_s32(x):
+        m = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return jnp.where(m < 0, m ^ jnp.int32(0x7FFFFFFF), m)
+
+    pix_seg = jnp.where(gated, pix, HW)
+    slot_iota = jnp.broadcast_to(
+        jnp.arange(NT, dtype=jnp.int32)[None, :], (B, NT)
+    )
+    negcc_i = _f32_sortable_s32(-cc1)
+    ray_i = _f32_sortable_s32(ray)
+    if compact:
+        # bound the sort to the active buffer, exactly like the row path:
+        # active rows beyond A are deterministically dropped
+        idxb, avalid = compact_masked(active, A)
+        keys = jnp.stack(
+            [pix_seg, negcc_i, ray_i, slot_iota], axis=-1
+        )  # (B, NT, 4)
+        kc = jnp.take_along_axis(keys, idxb[..., None], axis=1)
+        k_pix = jnp.where(avalid, kc[..., 0], HW)
+        k_cc, k_ray, k_slot = kc[..., 1], kc[..., 2], kc[..., 3]
+        arena_slot = idxb
+    else:
+        k_pix, k_cc, k_ray, k_slot = pix_seg, negcc_i, ray_i, slot_iota
+        arena_slot = slot_iota
+        avalid = active
+
+    pix_sorted, _, _, slot_sorted = jax.vmap(
+        lambda p, c, r, s: jax.lax.sort(
+            (p, c, r, s), num_keys=4, is_stable=False
+        )
+    )(k_pix, k_cc, k_ray, k_slot)
+    first = jnp.concatenate(
+        [
+            jnp.ones((B, 1), dtype=bool),
+            pix_sorted[:, 1:] != pix_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    winner_sorted = first & (pix_sorted < HW)
+    slot_s = slot_sorted
+    pix_s = pix_sorted
+
+    # ---- winner masks via two sorted-space scatters ---------------------
+    # Both scatters carry s32 payloads: a pred-typed .set(True) scatter
+    # here lowers to a sort-based deduplicating expansion on TPU
+    # (measured +0.3 ms at the ScanNet point), while the equivalent s32
+    # scatter + compare lowers to the plain per-row scatter.
+    bsrt = jnp.broadcast_to(jnp.arange(B)[:, None], winner_sorted.shape)
+    wmask = (
+        jnp.zeros((B, NT + 1), dtype=jnp.int32)
+        .at[bsrt, jnp.where(winner_sorted, slot_s, NT)]
+        .set(1, mode="drop")
+    )[:, :NT] > 0
+    # per-pixel MODEL IMAGE: arena slot fused at each pixel (CAP = none);
+    # winner pixels are distinct so the scatter is collision-free
+    model_img = (
+        jnp.full((B, HW + 1), CAP, dtype=jnp.int32)
+        .at[bsrt, jnp.where(winner_sorted, pix_s, HW)]
+        .set(slot_s, mode="drop")
+    )[:, :HW]
+
+    # ---- dense merge: every view row computes the value it WOULD get as
+    # a winner (identical math to the row path's mrows), selected under
+    # the winner mask — no winner-row or winner-frame gathers
+    alpha = fa[..., 9:10]
+    cc = view[..., 9:10]
+    cc_new = cc + alpha
+    inv = 1.0 / jnp.where(cc_new == 0, jnp.ones_like(cc_new), cc_new)
+    merged10 = [
+        (cc * view[..., 0:3] + alpha * fp) * inv,
+        (cc * view[..., 3:6] + alpha * fn) * inv,
+        (cc * view[..., 6:9] + alpha * fa[..., 6:9]) * inv,
+        cc_new,
+    ]
+    if has_labels:
+        mlab, mconf = view[..., 10:11], view[..., 11:12]
+        flab = fa[..., 10:11]
+        conf_new = jnp.where(mlab == flab, mconf + alpha, mconf - alpha)
+        label_ch = jnp.concatenate(
+            [jnp.where(conf_new >= 0, mlab, flab), jnp.abs(conf_new)], -1
+        )
+    else:
+        label_ch = view[..., 10:12]
+    merged = jnp.concatenate(merged10 + [label_ch], axis=-1)
+    new_view = jnp.where(wmask[..., None], merged, view)
+    data = jax.lax.dynamic_update_slice(map_state.data, new_view, (0, 0, 0))
+
+    pix_corr = model_img < CAP
+    state = MapState(data=data, num_points=map_state.num_points)
+
+    # ---- append non-corresponded valid pixels (same as the row path) ----
+    new_mask = valid_depth.reshape(B, HW) & ~pix_corr
+    if has_labels:
+        tail = frame_attr[..., 9:10]
+    else:
+        tail = jnp.zeros((B, HW, 2), dtype=frame_attr.dtype)
+    frame_rows = jnp.concatenate([frame_attr, tail], -1)
+    out = append_rows_to_map(state, frame_rows, new_mask)
+    if not return_active:
+        return out
+
+    app_slot = (
+        map_state.num_points[:, None]
+        + jnp.cumsum(new_mask, axis=1, dtype=jnp.int32)
+        - 1
+    )
+    app_valid = new_mask & (app_slot < CAP)
+    mi_win = model_img  # winner-only model image (pre-append overlay)
+    model_img = jnp.where(app_valid, app_slot, model_img)
+    if not dense_model_rows:
+        return out, (arena_slot, avalid, model_img)
+    # MODEL ROWS: per-pixel odometry target rows. Winner pixels read the
+    # merged view row at their model slot (ONE wide row gather from the
+    # window-sized view — the row path needed a rank scatter + a gather
+    # from its compact mrows buffer); appended pixels read their frame
+    # row. Bitwise identical to gathering the arena at model_img.
+    rows_w = jnp.take_along_axis(
+        new_view, jnp.minimum(mi_win, NT - 1)[..., None], axis=1
+    )
+    has_win = mi_win < CAP
+    mr6 = jnp.where(has_win[..., None], rows_w[..., 0:6], 0.0)
+    mr6 = jnp.where(app_valid[..., None], frame_rows[..., 0:6], mr6)
+    tval = (has_win | app_valid).astype(mr6.dtype)
+    model_rows = jnp.concatenate([mr6, tval[..., None]], axis=-1)
+    return out, (arena_slot, avalid, model_img, model_rows)
+
+
 def fusion_update_compact(
     map_state: MapState,
     frame_vertex_global: jnp.ndarray,
@@ -503,6 +708,7 @@ def fusion_update_compact(
     merge_window: Optional[int] = None,
     assoc_window: int = -1,
     dense_model_rows: bool = False,
+    window_merge: str = "dense",
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -565,7 +771,17 @@ def fusion_update_compact(
     ``merge_window`` (-1 auto, 0/None off, >0 explicit) selects the
     windowed winner writeback; auto enables it while the arena is at most
     12*H*W rows.
+
+    ``window_merge`` ('dense' default | 'rows') selects the windowed
+    path's merge formulation: 'dense' computes merge results densely per
+    view row (:func:`_fusion_window_dense` — fastest measured), 'rows'
+    keeps the row-compacted winner writeback (the pre-round-5 path, kept
+    as the equivalence oracle). Bitwise-identical results.
     """
+    if window_merge not in ("dense", "rows"):
+        raise ValueError(
+            f"window_merge must be 'dense' or 'rows', got {window_merge!r}"
+        )
     B, H, W, _ = frame_vertex_global.shape
     CAP = map_state.capacity
     HW = H * W
@@ -733,6 +949,17 @@ def fusion_update_compact(
                 < map_state.num_points[:, None]
             )
             view = map_state.data[:, :win]
+            if window_merge == "dense":
+                # dense-merge formulation (default): one wide frame
+                # gather + sorted-space winner masks + dense merge select
+                # — see _fusion_window_dense for the measured trade
+                return _fusion_window_dense(
+                    map_state, view, live, frame_attr, valid_depth,
+                    pose, intrinsics, dist_th, dot_th, H, W, A,
+                    compact=win > A, has_labels=frame_labels is not None,
+                    return_active=return_active,
+                    dense_model_rows=dense_model_rows,
+                )
             # win <= A: the window rows ARE the active buffer — no
             # compaction, no active-row gather (see _winner_slots)
             arena_slot, avalid, wslots = _winner_slots(

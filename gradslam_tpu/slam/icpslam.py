@@ -91,6 +91,10 @@ class SLAMOptions(NamedTuple):
     # random gather into a large arena, whose cost degrades ~5x once the
     # arena outgrows cache) | 'auto' (dense iff capacity > 12*H*W, the
     # same large-map crossover as merge_window)
+    window_merge: str = "dense"  # assoc_window merge formulation:
+    # 'dense' (merge computed densely per view row, winner masks from
+    # sorted space — round-5 fast path) | 'rows' (row-compacted winner
+    # writeback — the pre-round-5 oracle). Bitwise-identical results.
 
 
 def _frame_maps_local(depth, intrinsics):
@@ -393,6 +397,7 @@ def _map_update(
             merge_window=opts.merge_window,
             assoc_window=opts.assoc_window,
             dense_model_rows=dense,
+            window_merge=opts.window_merge,
         )
         if not return_active:
             return ret

@@ -308,6 +308,95 @@ class TestCompactFusionEquivalence:
         ).all()
 
 
+class TestDenseWindowMergeEquivalence:
+    """window_merge='dense' (round-5 fast path) vs 'rows' (the
+    pre-round-5 row-compacted writeback, kept as the oracle): identical
+    winners/appends/model image; merge VALUES agree to XLA fusion
+    rounding (the dense path fuses the merge arithmetic into one
+    elementwise pass; FMA contraction differs across program shapes)."""
+
+    def _two_frame(self, frame0, frame1, window_merge, assoc_window,
+                   active_capacity, labels=None):
+        from gradslam_tpu.slam.fusionutils import fusion_update_compact
+        from gradslam_tpu.structures.maparena import init_map
+
+        rgbd0 = frame0.to_channels_last()
+        rgbd1 = frame1.to_channels_last()
+        B, _, H, W = rgbd0.shape
+        m = init_map(B, 3 * H * W)
+        acts = []
+        for i, r in enumerate((rgbd0, rgbd1)):
+            m, act = fusion_update_compact(
+                m,
+                r.global_vertex_map[:, 0],
+                r.global_normal_map[:, 0],
+                r.vertex_map[:, 0],
+                r.rgb_image[:, 0],
+                r.valid_depth_mask[:, 0, ..., 0],
+                r.poses[:, 0],
+                r.intrinsics,
+                0.05, DOT_TH, 0.6, active_capacity,
+                assoc_window=assoc_window,
+                window_merge=window_merge,
+                return_active=True,
+                dense_model_rows=True,
+                frame_labels=None if labels is None else labels[i],
+            )
+            acts.append(act)
+        return m, acts[-1]
+
+    @pytest.mark.parametrize(
+        "assoc_window_mult,active_mult",
+        [(2, 2), (3, 2)],  # compact=False (win<=A) and compact=True
+        ids=["direct-window", "compacted"],
+    )
+    def test_dense_matches_rows(
+        self, frame0, frame1, assoc_window_mult, active_mult
+    ):
+        H, W = frame0.shape[2], frame0.shape[3]
+        rng = np.random.RandomState(0)
+        labels = [
+            jnp.asarray(rng.randint(0, 20, size=(2, H, W)).astype(np.int32))
+            for _ in range(2)
+        ]
+        m_r, act_r = self._two_frame(
+            frame0, frame1, "rows", assoc_window_mult * H * W,
+            active_mult * H * W, labels,
+        )
+        m_d, act_d = self._two_frame(
+            frame0, frame1, "dense", assoc_window_mult * H * W,
+            active_mult * H * W, labels,
+        )
+        # winner/append structure: exact
+        np.testing.assert_array_equal(
+            np.asarray(m_d.num_points), np.asarray(m_r.num_points)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_d.ccounts), np.asarray(m_r.ccounts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_d.labels), np.asarray(m_r.labels)
+        )
+        # the carried active set and model image: exact
+        for a, b in zip(act_r, act_d):
+            if a is None:
+                assert b is None
+                continue
+            if a.dtype == np.float32:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-5, atol=5e-5
+                )
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # merge values: fusion-rounding tolerance
+        for attr in ("points", "normals", "colors"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(m_d, attr)),
+                np.asarray(getattr(m_r, attr)),
+                rtol=2e-5, atol=5e-5,
+            )
+
+
 class TestWinnerWritebackWindow:
     """The windowed winner writeback (merge_window) must be bitwise equal
     to the row-scatter formulation, including the cond fallback when the

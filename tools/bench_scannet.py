@@ -87,6 +87,9 @@ def main():
                     "from association — the accuracy guard below still "
                     "applies")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--window-merge", default="dense",
+                    choices=("dense", "rows"),
+                    help="assoc_window merge formulation (A/B)")
     ap.add_argument("--trace", default="")
     ap.add_argument("--managed", action="store_true",
                     help="slam_sequence_managed: watermark voxel "
@@ -129,6 +132,7 @@ def main():
         assoc=args.assoc, assoc_window=window,
         merge_window=args.merge_window,
         active_capacity=args.active or None,
+        window_merge=args.window_merge,
     )
     rgb, dep, Kj = jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(K)
 
