@@ -573,11 +573,16 @@ def _fusion_window_dense(
     ray_i = _f32_sortable_s32(ray)
     if compact:
         # bound the sort to the active buffer, exactly like the row path:
-        # active rows beyond A are deterministically dropped
+        # active rows beyond A are deterministically dropped. Keys are
+        # packed 8-wide (4 real + 4 pad): the 8-wide s32 row gather runs
+        # at the 5.9 ns/row issue floor while the 4-wide T(4,128) form
+        # measured 6.9 ns/row (v5e trace; same trick as masking.py:125)
         idxb, avalid = compact_masked(active, A)
+        zero = jnp.zeros_like(pix_seg)
         keys = jnp.stack(
-            [pix_seg, negcc_i, ray_i, slot_iota], axis=-1
-        )  # (B, NT, 4)
+            [pix_seg, negcc_i, ray_i, slot_iota, zero, zero, zero, zero],
+            axis=-1,
+        )  # (B, NT, 8)
         kc = jnp.take_along_axis(keys, idxb[..., None], axis=1)
         k_pix = jnp.where(avalid, kc[..., 0], HW)
         k_cc, k_ray, k_slot = kc[..., 1], kc[..., 2], kc[..., 3]

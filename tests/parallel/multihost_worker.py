@@ -3,13 +3,20 @@
 Each of the two processes runs this script: it bootstraps the JAX
 distributed runtime through the LIBRARY's ``initialize_multihost`` (the
 code under test — a real ``jax.distributed.initialize`` rendezvous over
-localhost, Gloo CPU collectives), builds a global mesh spanning both
-processes with ``make_mesh``, and runs ``pose_graph_refine_sharded``
-with its edges sharded across the processes. The refined trajectory is
-replicated, so each process independently checks it against the
-single-process dense ``pose_graph_refine`` on the same graph.
+localhost, Gloo CPU collectives) and builds a global mesh spanning both
+processes with ``make_mesh``. Then, per the mode argument:
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+- ``refine``: runs ``pose_graph_refine_sharded`` with its edges
+  partitioned across the processes. The refined trajectory is
+  replicated, so each process independently checks it against the
+  single-process dense ``pose_graph_refine`` on the same graph.
+- ``train``: runs the FLAGSHIP sharded program — ``sharded_train_step``
+  (forward + backward through the full fused SLAM scan, gradient psum
+  across the mesh) — with the batch partitioned across the processes,
+  for two SGD steps, and checks loss and updated parameters against the
+  same step computed single-process on identical inputs.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> [mode]
 """
 
 import sys
@@ -23,8 +30,104 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
+def _train_mode(pid: int) -> None:
+    """Cross-process sharded_train_step vs the single-process step."""
+    import jax.numpy as jnp
+
+    from gradslam_tpu.parallel import make_mesh
+    from gradslam_tpu.parallel.sharded import (
+        DepthCalibParams,
+        sharded_train_step,
+        slam_loss,
+    )
+    from gradslam_tpu.slam.icpslam import SLAMOptions
+
+    mesh = make_mesh(data=jax.device_count())
+
+    # tiny deterministic inputs, IDENTICAL on both processes: the golden
+    # clip strided 4x, batch tiled 2 -> B=4 (one item per global device)
+    import pathlib
+
+    d = pathlib.Path(__file__).parents[1] / "data" / "msrd_b2s3"
+    colors = np.load(d / "colors.npy")[:, :, ::4, ::4].astype(np.float32)
+    depths = np.load(d / "depths.npy")[:, :, ::4, ::4].astype(np.float32)
+    K = np.load(d / "intrinsics.npy").astype(np.float32).copy()
+    K[:, :, :2] /= 4.0
+    poses = np.load(d / "poses.npy").astype(np.float32)
+    rgb = np.concatenate([colors, colors], axis=0)  # (4, 3, 30, 40, 3)
+    dep = np.concatenate([depths, depths], axis=0)
+    Kb = np.concatenate([K, K], axis=0)
+    gt = np.concatenate([poses, poses], axis=0)
+    B, L, H, W = rgb.shape[:4]
+
+    opts = SLAMOptions(
+        odom="gradicp", numiters=4, dsratio=2, fusion=True,
+        assoc="projective", assoc_window=2 * H * W,
+    )
+    capacity = L * H * W
+    # mis-calibrated start so the loss and gradients are non-trivial
+    params0 = DepthCalibParams(
+        scale=jnp.asarray(1.05), bias=jnp.asarray(0.01)
+    )
+
+    # global arrays: every process holds the same full value; each
+    # device's shard is sliced out by index (the multi-controller input
+    # path a real pod run uses)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def global_batch(x):
+        s = NamedSharding(mesh, P("data"))
+        return jax.make_array_from_callback(x.shape, s, lambda i: x[i])
+
+    def replicated(x):
+        x = np.asarray(x)
+        s = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(x.shape, s, lambda i: x[i])
+
+    step = sharded_train_step(mesh, opts, capacity, lr=1e-3)
+    params = jax.tree_util.tree_map(replicated, params0)
+    args = tuple(global_batch(x) for x in (rgb, dep, Kb, gt))
+    losses = []
+    for _ in range(2):
+        params, loss = step(params, *args)
+        losses.append(float(loss))  # replicated scalar
+
+    # single-process reference on the same inputs (local devices only)
+    ref_params = params0
+    ref_losses = []
+    grad_fn = jax.jit(
+        jax.value_and_grad(slam_loss), static_argnames=("opts", "capacity")
+    )
+    for _ in range(2):
+        l0, g = grad_fn(
+            ref_params, jnp.asarray(rgb), jnp.asarray(dep),
+            jnp.asarray(Kb), jnp.asarray(gt), opts=opts, capacity=capacity,
+        )
+        ref_params = jax.tree_util.tree_map(
+            lambda p, gg: p - 1e-3 * gg, ref_params, g
+        )
+        ref_losses.append(float(l0))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        float(jax.device_get(params.scale)), float(ref_params.scale),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(jax.device_get(params.bias)), float(ref_params.bias),
+        rtol=1e-4, atol=1e-7,
+    )
+    assert losses[1] < losses[0], losses  # the step actually descends
+    print(
+        f"[worker {pid}] MULTIHOST TRAIN OK loss {losses[0]:.6f}->"
+        f"{losses[1]:.6f} scale {float(jax.device_get(params.scale)):.5f}",
+        flush=True,
+    )
+
+
 def main() -> None:
     pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "refine"
 
     from gradslam_tpu.parallel import multihost
 
@@ -40,6 +143,10 @@ def main() -> None:
     assert jax.process_count() == n
     assert jax.process_index() == pid
     print(f"[worker {pid}] {multihost.host_summary()}", flush=True)
+
+    if mode == "train":
+        _train_mode(pid)
+        return
 
     import jax.numpy as jnp
 

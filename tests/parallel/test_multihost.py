@@ -26,7 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_rendezvous_and_sharded_refine():
+def _run_workers(mode: str, timeout: int = 240):
     port = _free_port()
     env = dict(os.environ)
     # two virtual CPU devices per process -> a 4-device global mesh
@@ -42,6 +42,7 @@ def test_two_process_rendezvous_and_sharded_refine():
                 str(i),
                 str(NPROC),
                 str(port),
+                mode,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -54,7 +55,7 @@ def test_two_process_rendezvous_and_sharded_refine():
     outputs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outputs.append(out)
     finally:
         for p in procs:
@@ -62,7 +63,23 @@ def test_two_process_rendezvous_and_sharded_refine():
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert "MULTIHOST OK" in out, f"worker {i} output:\n{out}"
         assert f"process {i}/{NPROC}" in out, out
         # each process sees 2 local devices and the 4-device global view
         assert "2 local / 4 global" in out, out
+    return outputs
+
+
+def test_two_process_rendezvous_and_sharded_refine():
+    outputs = _run_workers("refine")
+    for i, out in enumerate(outputs):
+        assert "MULTIHOST OK" in out, f"worker {i} output:\n{out}"
+
+
+def test_two_process_sharded_train_step():
+    """The FLAGSHIP sharded program (sharded_train_step: fwd+bwd through
+    the fused SLAM scan, gradient psum over the mesh) across a real
+    process boundary: batch partitioned over 2 processes x 2 devices,
+    loss/updated params must match the single-process step."""
+    outputs = _run_workers("train", timeout=480)
+    for i, out in enumerate(outputs):
+        assert "MULTIHOST TRAIN OK" in out, f"worker {i} output:\n{out}"
