@@ -124,9 +124,20 @@ def voxel_merge_rows(
         denom = jnp.where(wsum > 0, wsum, 1.0)
         attrs = sums[:, 0:9] / denom  # (N, 9) merged point/normal/color
         if normalize_normals:
+            # Both the divide AND the sqrt input are guarded: the norm's
+            # backward at an exactly-zero normal (opposing normals
+            # cancelling in a cell, or an empty cell) is 0/0 -> NaN even
+            # when the forward divide is where-guarded; the guarded-input
+            # sqrt keeps the whole VJP finite (found by
+            # TestCompactedGrad — the NaN poisoned every upstream depth
+            # gradient through the compaction boundary).
             nrm = attrs[:, 3:6]
-            nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-            attrs = attrs.at[:, 3:6].set(nrm / jnp.where(nn > 0, nn, 1.0))
+            nsq = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
+            safe = nsq > 0
+            nn = jnp.sqrt(jnp.where(safe, nsq, 1.0))
+            attrs = attrs.at[:, 3:6].set(
+                jnp.where(safe, nrm / nn, nrm)
+            )
 
         n_cells = jnp.sum((boundary & ls).astype(jnp.int32))
         out_live = jnp.arange(N, dtype=jnp.int32) < n_cells

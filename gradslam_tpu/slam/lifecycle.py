@@ -338,6 +338,7 @@ def slam_sequence_managed(
     keep_recent: int = 0,
     loop_closure: Optional[str] = None,
     loop_closure_kwargs: Optional[dict] = None,
+    resume_from: Optional[Tuple[MapState, jnp.ndarray]] = None,
 ) -> Tuple[MapState, jnp.ndarray]:
     """:func:`slam_sequence` with in-loop arena lifecycle management.
 
@@ -367,8 +368,27 @@ def slam_sequence_managed(
     ``min_separation``, ``max_descriptor_dist``, ``min_inlier_frac``,
     ``dsratio``...).
 
+    With ``resume_from`` = ``(map_state, pose)`` — e.g. loaded by
+    :func:`gradslam_tpu.utils.checkpoint.load_slam_state` in a fresh
+    process — the run CONTINUES from that state instead of mapping frame
+    0 into a fresh arena: every frame of ``rgb_seq`` is treated as a
+    continuation frame, and the slot-referencing caches (odometry
+    candidates, projective model image) are rebuilt from the arena by
+    :func:`refresh_slam_state` before the first segment. A checkpoint
+    taken at a segment boundary where the uninterrupted run compacts
+    resumes to the BITWISE-identical state (compaction's own refresh is
+    exactly this rebuild); elsewhere the rebuilt model image uses the
+    occlusion-correct min-depth rule rather than the in-flight fusion
+    image, so the first resumed frame's odometry may differ at
+    association-tie level (the map and all appended geometry are exact
+    either way). Pinned by
+    ``tests/slam/test_lifecycle.py::TestManagedResume``. Loop-closure
+    bookkeeping starts fresh at the resume point (the trajectory before
+    the checkpoint is not re-refined).
+
     Returns:
-        (map_state, recovered_poses (B, L, 4, 4)).
+        (map_state, recovered_poses): poses cover frames of ``rgb_seq``
+        (shape (B, L, 4, 4)).
     """
     if not 0.0 < watermark <= 1.0:
         raise ValueError(f"watermark must be in (0, 1], got {watermark}")
@@ -437,12 +457,40 @@ def slam_sequence_managed(
             refined.append(r)
         return jnp.stack(refined), hit
 
-    state = slam_init_state(
-        rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity,
-        poses_seq[:, 0] if has_poses else None,
-    )
-    poses_out = [state.pose[:, None]]
-    t = 1
+    if resume_from is not None:
+        m0, pose0 = resume_from
+        if m0.capacity != capacity:
+            raise ValueError(
+                f"resume_from arena capacity {m0.capacity} != requested "
+                f"capacity {capacity}"
+            )
+        A = opts.active_capacity or 2 * H * W
+        from .fusionutils import _resolve_model_rows
+
+        dense = _resolve_model_rows(opts.model_rows, H, W, capacity)
+        state = refresh_slam_state(
+            SLAMState(
+                map_state=m0,
+                pose=jnp.asarray(pose0),
+                cand_slots=jnp.zeros((B, A), jnp.int32),
+                cand_valid=jnp.zeros((B, A), bool),
+                app_start=m0.num_points,
+                model_img=jnp.full((B, H * W), capacity, jnp.int32),
+                model_rows=(
+                    jnp.zeros((B, H * W, 7), dtype) if dense else None
+                ),
+            ),
+            intrinsics, opts, H, W,
+        )
+        poses_out = []
+        t = 0
+    else:
+        state = slam_init_state(
+            rgb_seq[:, 0], depth_seq[:, 0], intrinsics, opts, capacity,
+            poses_seq[:, 0] if has_poses else None,
+        )
+        poses_out = [state.pose[:, None]]
+        t = 1
     while t < L:
         if float(jnp.max(state.map_state.num_points)) > watermark * capacity:
             state = compact_slam_state(

@@ -302,6 +302,106 @@ class TestFusedCompacted:
             )
 
 
+class TestManagedResume:
+    """Checkpoint at a managed-segment boundary, reload FROM DISK into a
+    freshly constructed state, continue — the continuation must equal
+    the uninterrupted run bitwise (SURVEY §5 checkpoint/resume; the
+    multi-host resume surface). Bitwise equality holds because the
+    checkpoint boundary is one where the uninterrupted run compacts:
+    compaction rebuilds the slot caches from (arena, pose) exactly as
+    the resume path does."""
+
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        from gradslam_tpu.utils import load_slam_state, save_slam_state
+
+        rgb, dep, K, _ = _sequence(ds=2)
+        B, Lf, H, W = rgb.shape[:4]
+        capacity = 3 * H * W
+        opts = SLAMOptions(
+            odom="gradicp", numiters=8, dsratio=4, fusion=True,
+            assoc="projective",
+        )
+        kw = dict(
+            opts=opts, capacity=capacity, watermark=0.1, segment_len=3,
+            policy="voxel", voxel_size=0.02,
+        )
+        # watermark=0.1 -> the arena (one frame fills ~H*W of 3*H*W)
+        # compacts at EVERY segment boundary, including the resume point
+        m_full, p_full = slam_sequence_managed(rgb, dep, K, None, **kw)
+
+        # interrupted after the segment ending at frame 4
+        m1, p1 = slam_sequence_managed(
+            rgb[:, :4], dep[:, :4], K, None, **kw
+        )
+        save_slam_state(str(tmp_path / "seg.npz"), m1, p1[:, -1])
+
+        # fresh state: everything below comes from the file
+        m_loaded, pose_loaded = load_slam_state(str(tmp_path / "seg.npz"))
+        m2, p2 = slam_sequence_managed(
+            rgb[:, 4:], dep[:, 4:], K, None,
+            resume_from=(m_loaded, pose_loaded), **kw
+        )
+
+        np.testing.assert_array_equal(
+            np.asarray(m2.num_points), np.asarray(m_full.num_points)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m2.data), np.asarray(m_full.data)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p2), np.asarray(p_full[:, 4:])
+        )
+
+    def test_resume_capacity_mismatch_raises(self, tmp_path):
+        from gradslam_tpu.structures import init_map
+
+        rgb, dep, K, _ = _sequence(ds=2)
+        opts = SLAMOptions(odom="gradicp", numiters=2, fusion=True)
+        with pytest.raises(ValueError, match="capacity"):
+            slam_sequence_managed(
+                rgb[:, :2], dep[:, :2], K, None, opts=opts, capacity=999,
+                resume_from=(init_map(2, 100), jnp.eye(4)[None].repeat(2, 0)),
+            )
+
+
+class TestCompactedGrad:
+    """Differentiability of the managed path (docs/API.md): the FUSED
+    lifecycle (slam_sequence_compacted — one jitted program) carries
+    end-to-end gradients exactly like slam_sequence; the host-segmented
+    slam_sequence_managed does not claim to (host loop between
+    segments)."""
+
+    def test_grad_through_compaction_boundary(self):
+        import jax
+
+        rgb, dep, K, _ = _sequence(ds=4)  # 30x40 — grad pass is 2x cost
+        rgb, dep = rgb[:1, :6], dep[:1, :6]
+        K1 = K[:1]
+        H, W = rgb.shape[2:4]
+        capacity = 2 * H * W
+        opts = SLAMOptions(
+            odom="gradicp", numiters=4, dsratio=4, fusion=True,
+            assoc="projective",
+        )
+
+        def loss(d):
+            _, poses, _ = slam_sequence_compacted(
+                rgb, d, K1, None, opts, capacity,
+                segment_len=2, policy="voxel", voxel_size=0.02,
+            )
+            return jnp.sum(poses[..., :3, 3] ** 2)
+
+        g = np.asarray(jax.grad(loss)(dep))
+        assert np.isfinite(g).all()
+        # gradients reach depth maps in EVERY segment, i.e. flow crosses
+        # the in-program compaction boundaries (segments are 2 frames)
+        per_frame = np.abs(g).reshape(g.shape[1], -1).sum(axis=1)
+        assert (per_frame[1:] > 0).all(), per_frame
+        # frame 0 seeds the arena before the first odometry solve; its
+        # gradient flows through the fused map and the model image
+        assert per_frame.sum() > 0
+
+
 class TestManagedLoopClosure:
     """Loop closure wired INTO the managed run (VERDICT r2 weak #4): it
     executes at segment boundaries and corrects the trajectory so far."""
