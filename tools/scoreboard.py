@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--markdown", action="store_true")
     ap.add_argument("--real", action="store_true",
                     help="run on the attached backend instead of CPU")
+    ap.add_argument("--loop", default="",
+                    help="also run the long-horizon loop benchmark rows "
+                    "(tools/bench_loop.py) at 'HxW:N', e.g. 240x320:120 "
+                    "for the ScanNet-resolution long-run row")
     args = ap.parse_args()
 
     import jax
@@ -130,6 +134,35 @@ def main():
                 vs_reference_max=ref_dev,
             )
         )
+
+    if args.loop:
+        # long-horizon rows (rendered revisiting loop at the requested
+        # resolution — the ScanNet-res lifecycle operating point when
+        # called with 240x320:120) via the loop benchmark harness
+        import subprocess
+
+        hw, n = args.loop.split(":")
+        cmd = [
+            sys.executable, str(ROOT / "tools" / "bench_loop.py"),
+            "--hw", hw, "--frames", n, "--configs", "fusion,managed",
+            "--fusion-window-mult", "16",
+        ] + (["--real"] if args.real else [])
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                r = json.loads(line)
+                rows.append(
+                    dict(
+                        path=f"long-horizon {hw}:{n} {r['config']}",
+                        ate_rmse_m=r["ate_rmse_m"],
+                        rpe_trans_m=float("nan"),
+                        rpe_rot_rad=float("nan"),
+                        chamfer_sq_m=float("nan"),
+                        map_accuracy_1cm=float("nan"),
+                        map_completeness_1cm=float("nan"),
+                        vs_reference_max=float("nan"),
+                    )
+                )
 
     if args.markdown:
         print(
