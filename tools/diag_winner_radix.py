@@ -24,6 +24,22 @@ selection:
 Correctness of B and C is checked against A before timing (same winner
 per pixel on random data). Chained-dispatch timing per CLAUDE.md
 microbench rules.
+
+MEASURED VERDICT (one v5e, round 5 — see docs/PERFORMANCE.md):
+  sort4           6.0 ms/selection (19.6 ns/candidate)
+  scatter-rounds 10.0 ms/selection (32.6 ns/candidate) — 1.6x SLOWER
+                 while resolving only ONE priority word of the real
+                 2-word lexicographic key
+  pallas-rmw     INEXPRESSIBLE: three escalating formulations, three
+                 Mosaic rejections — (1, A) blocks violate sublane
+                 divisibility; scalar stores to VMEM are rejected
+                 outright ("Cannot store scalars to VMEM"); 1-element
+                 dynamic-slice RMW fails lowering ("cannot statically
+                 prove that index in dimension 1 is a multiple of 128").
+                 TPU VMEM writes are tile-granular at 128-lane-aligned
+                 static offsets; data-dependent per-candidate placement
+                 — the core primitive of ANY radix bucketing kernel —
+                 has no hardware path.
 """
 
 import functools
@@ -88,19 +104,29 @@ def main():
         return m2[:, :HW]
 
     # ---- C: Pallas per-candidate RMW into a VMEM best table ----------
+    # Full-array blocks (Mosaic rejects a (1, A) block: the sublane dim
+    # of a block must be divisible by 8 or equal the array dim); the
+    # static B=2 loop is unrolled inside one kernel instance.
     def _rmw_kernel(pix_ref, key_ref, slot_ref, best_ref, bslot_ref, *, n):
         best_ref[...] = jnp.full_like(best_ref, 2**31 - 1)
         bslot_ref[...] = jnp.full_like(bslot_ref, A)
 
         def body(i, _):
-            p = pix_ref[0, i]
-            kk = key_ref[0, i]
-            cur = best_ref[0, p]
-            better = kk < cur
-            best_ref[0, p] = jnp.where(better, kk, cur)
-            bslot_ref[0, p] = jnp.where(
-                better, slot_ref[0, i], bslot_ref[0, p]
-            )
+            for b in range(B):
+                # Mosaic rejects scalar stores to VMEM outright
+                # ("Cannot store scalars to VMEM"); the closest legal
+                # form is a 1-element dynamic-slice store, which the
+                # hardware implements as a read-modify-write of the
+                # surrounding tile
+                p = pix_ref[b, i]
+                kk = key_ref[b, i]
+                cur = best_ref[b, pl.ds(p, 1)]
+                better = kk < cur
+                best_ref[b, pl.ds(p, 1)] = jnp.where(better, kk, cur)
+                sl = jnp.broadcast_to(slot_ref[b, i], (1,))
+                bslot_ref[b, pl.ds(p, 1)] = jnp.where(
+                    better, sl, bslot_ref[b, pl.ds(p, 1)]
+                )
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -114,20 +140,14 @@ def main():
                 jax.ShapeDtypeStruct((B, HW), jnp.int32),
                 jax.ShapeDtypeStruct((B, HW), jnp.int32),
             ),
-            grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, A), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, A), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, A), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, HW), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, HW), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
         )(p, k, s)
         return bslot
