@@ -766,6 +766,11 @@ class ICPSLAM:
                 f"model_rows {model_rows!r} not in ('auto', 'dense', "
                 "'gather')"
             )
+        window_merge = kwargs.get("window_merge", "dense")
+        if window_merge not in ("dense", "rows"):
+            raise ValueError(
+                f"window_merge {window_merge!r} not in ('dense', 'rows')"
+            )
         odom_targets = kwargs.get("odom_targets", "map")
         if odom_targets not in ("map", "recent"):
             raise ValueError(

@@ -205,6 +205,11 @@ class TestAssocWindowOdometry:
         PointFusion(odom="gradicp", model_rows="dense")
         PointFusion(odom="gradicp", model_rows="gather")
 
+    def test_rejects_bad_window_merge(self):
+        with pytest.raises(ValueError, match="window_merge"):
+            PointFusion(odom="gradicp", window_merge="bogus")
+        PointFusion(odom="gradicp", window_merge="rows")
+
     def test_rejects_assoc_window_with_block_size(self):
         with pytest.raises(ValueError, match="mutually exclusive"):
             PointFusion(
