@@ -19,6 +19,7 @@ processes with ``make_mesh``. Then, per the mode argument:
 Usage: python multihost_worker.py <process_id> <num_processes> <port> [mode]
 """
 
+import pathlib
 import sys
 
 import jax
@@ -26,6 +27,16 @@ import jax
 # The test environment force-registers a remote backend at interpreter
 # start (sitecustomize); pin to CPU before any backend is touched.
 jax.config.update("jax_platforms", "cpu")
+# Share the suite's persistent compile cache (tests/conftest.py sets
+# this up for in-process tests; this worker is a fresh subprocess and
+# would otherwise recompile its sharded programs on every run — measured
+# 88 s for the train mode, ~30 s warm with the cache).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).parents[2] / ".jax_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 
