@@ -170,7 +170,14 @@ def append_rows_to_map(
     start = jnp.clip(state.num_points, 0, cap - M)  # (B,)
     off = state.num_points - start  # (B,)
 
-    # compacted rows up front (batched row gather, no dynamic starts)
+    # compacted rows up front (batched row gather, no dynamic starts).
+    # TRIED AND REJECTED (round 5): splitting this into 8+4-channel
+    # gathers (hypothesis: the trace's 14.3 ns/row for this op vs the
+    # 5.9 ns/row of same-shaped gathers elsewhere was a 10-channel
+    # tiling pathology) — 94.4 -> 89.4 fps at the ScanNet point; the
+    # fused roll/select around the gather, not its width, carries the
+    # extra cost, and the roll-free formulation was separately rejected
+    # (whole-arena layout copies; see append scatter note above).
     rows_c = jnp.take_along_axis(new_rows, src_of_pos[..., None], axis=1)
 
     # Per-batch dynamic-slice window write, UNROLLED over the (static,
