@@ -500,6 +500,7 @@ def _fusion_window_dense(
     has_labels: bool,
     return_active: bool,
     dense_model_rows: bool,
+    need_active_set: bool = True,
 ):
     """Capacity-windowed fusion with a DENSE merge over the view rows.
 
@@ -572,12 +573,25 @@ def _fusion_window_dense(
     negcc_i = _f32_sortable_s32(-cc1)
     ray_i = _f32_sortable_s32(ray)
     if compact:
-        # bound the sort to the active buffer, exactly like the row path:
-        # active rows beyond A are deterministically dropped. Keys are
-        # packed 8-wide (4 real + 4 pad): the 8-wide s32 row gather runs
-        # at the 5.9 ns/row issue floor while the 4-wide T(4,128) form
-        # measured 6.9 ns/row (v5e trace; same trick as masking.py:125)
-        idxb, avalid = compact_masked(active, A)
+        # Bound the sort to the active buffer. When the caller consumes
+        # the compacted set as odometry candidates (need_active_set —
+        # the knn/reuse_actives path), compact ACTIVE rows exactly like
+        # the row path. Otherwise (projective odometry ignores the
+        # carry) compact GATED rows: a non-gated row can never win, so
+        # dropping it is free, and the buffer then holds only true
+        # candidates — at the ScanNet point the gated count peaks at
+        # ~1.3·H·W where actives peak at ~3.8·H·W, so the same A=2·H·W
+        # buffer that silently dropped gate-PASSING candidates under
+        # active compaction (up to ~140k/frame, each a lost merge and a
+        # duplicate append) drops NOTHING under gated compaction:
+        # strictly more exact, and the map grows measurably less.
+        # Keys are packed 8-wide (4 real + 4 pad): the 8-wide s32 row
+        # gather runs at the 5.9 ns/row issue floor while the 4-wide
+        # T(4,128) form measured 6.9 ns/row (v5e trace; same trick as
+        # masking.py:125).
+        idxb, avalid = compact_masked(
+            active if need_active_set else gated, A
+        )
         zero = jnp.zeros_like(pix_seg)
         keys = jnp.stack(
             [pix_seg, negcc_i, ray_i, slot_iota, zero, zero, zero, zero],
@@ -714,6 +728,7 @@ def fusion_update_compact(
     assoc_window: int = -1,
     dense_model_rows: bool = False,
     window_merge: str = "dense",
+    need_active_set: bool = True,
 ) -> MapState:
     """One-pass PointFusion update with active-set compaction (fast path).
 
@@ -782,6 +797,14 @@ def fusion_update_compact(
     view row (:func:`_fusion_window_dense` — fastest measured), 'rows'
     keeps the row-compacted winner writeback (the pre-round-5 path, kept
     as the equivalence oracle). Bitwise-identical results.
+
+    ``need_active_set`` (True): set False when the caller does NOT
+    consume the returned ``(arena_slot, avalid)`` as odometry candidates
+    (the projective-association pipeline) — the dense window path then
+    compacts GATED rows instead of active rows, so the ``A`` buffer
+    holds only rows that can actually win (dropping a non-gated active
+    is free; dropping a gated one — which active compaction does under
+    load — loses a merge). The returned pair is then the gated set.
     """
     if window_merge not in ("dense", "rows"):
         raise ValueError(
@@ -964,6 +987,7 @@ def fusion_update_compact(
                     compact=win > A, has_labels=frame_labels is not None,
                     return_active=return_active,
                     dense_model_rows=dense_model_rows,
+                    need_active_set=need_active_set,
                 )
             # win <= A: the window rows ARE the active buffer — no
             # compaction, no active-row gather (see _winner_slots)

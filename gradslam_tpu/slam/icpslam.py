@@ -377,6 +377,11 @@ def _map_update(
         dense = return_active and _resolve_model_rows(
             opts.model_rows, H, W, map_state.capacity
         )
+        # projective odometry never consumes the compacted active-set
+        # carry, which lets the dense window path compact GATED rows
+        # (only rows that can win candidacy) instead of active rows —
+        # see fusion_update_compact(need_active_set=...)
+        need_active = opts.assoc != "projective"
         ret = fusion_update_compact(
             map_state,
             gv,
@@ -398,6 +403,7 @@ def _map_update(
             assoc_window=opts.assoc_window,
             dense_model_rows=dense,
             window_merge=opts.window_merge,
+            need_active_set=need_active,
         )
         if not return_active:
             return ret

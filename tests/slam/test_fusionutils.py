@@ -316,7 +316,7 @@ class TestDenseWindowMergeEquivalence:
     elementwise pass; FMA contraction differs across program shapes)."""
 
     def _two_frame(self, frame0, frame1, window_merge, assoc_window,
-                   active_capacity, labels=None):
+                   active_capacity, labels=None, need_active_set=True):
         from gradslam_tpu.slam.fusionutils import fusion_update_compact
         from gradslam_tpu.structures.maparena import init_map
 
@@ -341,6 +341,7 @@ class TestDenseWindowMergeEquivalence:
                 return_active=True,
                 dense_model_rows=True,
                 frame_labels=None if labels is None else labels[i],
+                need_active_set=need_active_set,
             )
             acts.append(act)
         return m, acts[-1]
@@ -395,6 +396,29 @@ class TestDenseWindowMergeEquivalence:
                 np.asarray(getattr(m_r, attr)),
                 rtol=2e-5, atol=5e-5,
             )
+
+    def test_gated_compaction_matches_when_nothing_drops(
+        self, frame0, frame1
+    ):
+        """need_active_set=False compacts GATED rows instead of active
+        rows (round 5, projective path). While the buffer holds every
+        gated row this is bitwise-identical: a non-gated active can
+        never win, so excluding it changes nothing."""
+        H, W = frame0.shape[2], frame0.shape[3]
+        m_a, _ = self._two_frame(
+            frame0, frame1, "dense", 3 * H * W, 2 * H * W,
+            need_active_set=True,
+        )
+        m_g, _ = self._two_frame(
+            frame0, frame1, "dense", 3 * H * W, 2 * H * W,
+            need_active_set=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_g.num_points), np.asarray(m_a.num_points)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_g.data), np.asarray(m_a.data)
+        )
 
 
 class TestWinnerWritebackWindow:
