@@ -471,7 +471,10 @@ class SLAMState(NamedTuple):
     Attributes:
         map_state: the arena.
         pose: (B, 4, 4) last frame's pose.
-        cand_slots / cand_valid: (B, A) compacted fusion active set.
+        cand_slots / cand_valid: (B, A) compacted fusion active set
+            (with ``assoc='projective'`` the fusion step compacts GATED
+            rows instead — the carry is not consumed on that path; see
+            fusionutils.fusion_update_compact ``need_active_set``).
         app_start: (B,) first arena slot appended by the last frame.
         model_img: (B, H*W) int32 per-pixel model image from the last
             fusion step (arena slot fused at each pixel, CAP = none) —
