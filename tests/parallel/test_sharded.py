@@ -56,6 +56,34 @@ class TestShardedSLAM:
             np.asarray(m_sh.data), np.asarray(m_ref.data), atol=1e-4
         )
 
+    def test_flagship_config_sharded_matches_unsharded(self, batch8):
+        """The HEADLINE configuration (projective assoc + assoc_window +
+        dense window merge + gated compaction) under a (data, map) mesh:
+        GSPMD must partition the windowed slice / sorted-space scatters /
+        dense merge correctly. Round-5 coverage — the plain-opts test
+        above never traces these code paths."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        colors, depths, K, _ = batch8
+        B, L, H, W, _ = colors.shape
+        cap = L * H * W
+        mesh = make_mesh(data=4, map_=2)
+        opts = SLAMOptions(
+            odom="gradicp", numiters=5, fusion=True, assoc="projective",
+            assoc_window=2 * H * W,
+        )
+        m_ref, p_ref = slam_sequence(colors, depths, K, None, opts, cap)
+        m_sh, p_sh = sharded_slam(mesh, colors, depths, K, None, opts, cap)
+        np.testing.assert_allclose(
+            np.asarray(p_sh), np.asarray(p_ref), atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_sh.num_points), np.asarray(m_ref.num_points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_sh.data), np.asarray(m_ref.data), atol=1e-4
+        )
+
     def test_train_step_runs_on_mesh(self, batch8):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 devices")
