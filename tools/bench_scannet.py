@@ -7,6 +7,13 @@ cycled to L=16 — same content statistics, ScanNet-example geometry
 Usage:
     python tools/bench_scannet.py [--assoc projective|knn] [--window N]
         [--reps 5] [--trace DIR] [--capacity N] [--scatter|--merge-window N]
+
+Defaults are the CONSERVATIVE configuration (window 4*H*W, active
+2*H*W, ~99 fps round 5). The shipped bench-matrix point (bench.py
+scannet_fps, ~123 fps) is `--window 230400 --active 115200` — verified
+bit-identical to the conservative run (gated compaction; see
+docs/PERFORMANCE.md round-5 section). `--active 96000` measures ~133
+but has only 4.4% margin over the measured gated peak.
 """
 
 import argparse
