@@ -135,11 +135,9 @@ def inverse_transformation(trans: jnp.ndarray) -> jnp.ndarray:
     tvec = trans[..., :3, 3]
     rmatT = jnp.swapaxes(rmat, -1, -2)
     t_inv = -jnp.einsum("...ij,...j->...i", rmatT, tvec)
-    out = jnp.zeros_like(trans)
-    out = out.at[..., :3, :3].set(rmatT)
-    out = out.at[..., :3, 3].set(t_inv)
-    out = out.at[..., 3, 3].set(1.0)
-    return out
+    from .se3 import rt_matrix
+
+    return rt_matrix(rmatT, t_inv)
 
 
 def compose_transformations(trans_ab: jnp.ndarray, trans_bc: jnp.ndarray) -> jnp.ndarray:

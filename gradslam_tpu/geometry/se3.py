@@ -22,6 +22,24 @@ _EPS = 1e-6
 __all__ = ["so3_hat", "se3_hat", "so3_exp", "se3_exp", "se3_log"]
 
 
+def rt_matrix(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Packs (..., 3, 3) rotations + (..., 3) translations into
+    (..., 4, 4) homogeneous transforms.
+
+    Assembly is two concatenations instead of zeros + three
+    dynamic-update-slices: identical values, but the solver loops launch
+    this on tiny (B, 4, 4) arrays hundreds of times per frame and each
+    DUS costs ~0.9 us of launch overhead against ~0.12 us for a concat
+    (v5e trace, round 5).
+    """
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)  # (..., 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], R.dtype),
+        top.shape[:-2] + (1, 4),
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def so3_hat(omega: jnp.ndarray) -> jnp.ndarray:
     """Skew-symmetric (hat) matrix of (..., 3) axis-angle vectors.
 
@@ -109,12 +127,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     V = eye + B_v * omega_hat + C_v * omega_hat_sq
 
     t = jnp.einsum("...ij,...j->...i", V, v)
-
-    out = jnp.zeros(xi.shape[:-1] + (4, 4), dtype=xi.dtype)
-    out = out.at[..., :3, :3].set(R)
-    out = out.at[..., :3, 3].set(t)
-    out = out.at[..., 3, 3].set(1.0)
-    return out
+    return rt_matrix(R, t)
 
 
 def se3_log(transform: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
